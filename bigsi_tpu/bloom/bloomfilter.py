@@ -1,0 +1,76 @@
+"""Bloom filters over k-mers.
+
+Reference behavior (``bigsi/bloom/bloomfilter.py``): h = ``mmh3`` hash
+values per element, seeds ``0..h-1``, floor-mod ``m``; bits stored in a
+length-``m`` bitarray; files are the raw bit bytes (MSB-first).  The
+in-memory representation here is a numpy bool array; insertion is a
+vectorized hash of the whole k-mer batch followed by one scatter —
+no per-kmer Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bigsi_tpu.hashing.murmur3 import generate_hashes, hash_kmer_matrix
+from bigsi_tpu.kmers import ascii_to_strings, seq_to_ascii
+from bigsi_tpu.matrix.packing import bloom_bytes_to_bools, bools_to_bloom_bytes
+
+
+def build_bloom_from_kmer_matrix(
+    kmers: np.ndarray, m: int, h: int, out: np.ndarray | None = None
+) -> np.ndarray:
+    """Set the Bloom bits for an ASCII k-mer matrix [K, k] -> bool [m]."""
+    if out is None:
+        out = np.zeros(m, dtype=bool)
+    if kmers.shape[0]:
+        idx = hash_kmer_matrix(kmers, h, m)
+        out[idx.ravel()] = True
+    return out
+
+
+class BloomFilter:
+    """API-compatible with the reference ``BloomFilter(m, h)``."""
+
+    def __init__(self, m: int, h: int):
+        self.m = int(m)
+        self.h = int(h)
+        self.array = np.zeros(self.m, dtype=bool)
+
+    @property
+    def bitarray(self) -> np.ndarray:
+        return self.array
+
+    def add(self, element: str) -> None:
+        for i in generate_hashes(element, self.h, self.m):
+            self.array[i] = True
+
+    def update(self, elements) -> "BloomFilter":
+        elems = list(elements)
+        if elems:
+            k = len(elems[0])
+            if all(len(e) == k for e in elems):
+                mat = np.stack([seq_to_ascii(e) for e in elems])
+                build_bloom_from_kmer_matrix(mat, self.m, self.h, out=self.array)
+            else:
+                for e in elems:
+                    self.add(e)
+        return self
+
+    def tofile(self, fileobj) -> None:
+        fileobj.write(bools_to_bloom_bytes(self.array))
+
+
+def save_bloom_file(path: str, bits: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        f.write(bools_to_bloom_bytes(bits))
+
+
+def load_bloom_file(path: str, m: int | None = None) -> np.ndarray:
+    """Load a reference-layout ``.bloom`` file -> bool array.
+
+    Mirrors ``bigsi/cmds/build.py:22-28``; without ``m`` the byte-padding
+    bits are kept, as ``bitarray.fromfile`` does.
+    """
+    with open(path, "rb") as f:
+        return bloom_bytes_to_bools(f.read(), m)

@@ -1,0 +1,259 @@
+"""BIGSI facade: metadata + signature index + scoring.
+
+API and result-schema parity with ``bigsi/graph/bigsi.py``:
+
+* ``BIGSI.bloom / build / search / insert / merge / delete``;
+* search result dicts ``{percent_kmers_found, num_kmers,
+  num_kmers_found, sample_name}`` (``bigsi.py:105-114``), score keys
+  appended when ``score=True``;
+* ``num_kmers`` counts *distinct* query k-mers; the inexact threshold
+  is ``ceil(|distinct| * t)`` (``bigsi.py:179``);
+* deleted samples (renamed ``D3L3T3D``) are filtered from output
+  (``bigsi.py:186-190``); inexact results sort by hits descending.
+
+The query pipeline is batch-vectorized end to end: one ASCII k-mer
+matrix, one hash batch, one fused gather/AND/count on the engine —
+no per-kmer Python.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+
+import numpy as np
+
+from bigsi_tpu.bloom import BloomFilter
+from bigsi_tpu.constants import DEFAULT_CONFIG, DEFAULT_NPROC
+from bigsi_tpu.graph.metadata import DELETION_SPECIAL_SAMPLE_NAME, SampleMetadata
+from bigsi_tpu.index.signature import KmerSignatureIndex
+from bigsi_tpu.kmers import (
+    ascii_to_strings,
+    convert_query_kmers,
+    seq_to_kmer_matrix,
+    seq_to_kmers,
+    unique_rows_with_inverse,
+)
+from bigsi_tpu.scoring import Scorer
+from bigsi_tpu.storage import get_storage
+
+logger = logging.getLogger(__name__)
+
+MIN_UNIQUE_KMERS_IN_QUERY = 0
+
+
+def validate_build_params(bloomfilters, samples):
+    if not len(bloomfilters) == len(samples):
+        raise ValueError(
+            "There must be the same number of bloomfilters and sample names"
+        )
+
+
+class BigsiQueryResult:
+    PERCENT_KMERS_FOUND_KEY = "percent_kmers_found"
+    NUM_KMERS_KEY = "num_kmers"
+    NUM_KMERS_FOUND_KEY = "num_kmers_found"
+    SAMPLE_KEY = "sample_name"
+
+    def __init__(self, colour, sample_name, num_kmers_found, num_kmers):
+        self.colour = colour
+        self.sample_name = sample_name
+        self.num_kmers_found = num_kmers_found
+        self.num_kmers = num_kmers
+        self.percent_kmers_found = round(100 * float(num_kmers_found) / num_kmers, 2)
+        self.score = None
+
+    def todict(self):
+        outd = {
+            self.PERCENT_KMERS_FOUND_KEY: self.percent_kmers_found,
+            self.NUM_KMERS_KEY: self.num_kmers,
+            self.NUM_KMERS_FOUND_KEY: self.num_kmers_found,
+            self.SAMPLE_KEY: self.sample_name,
+        }
+        if self.score:
+            outd.update(self.score)
+        return outd
+
+    def tojson(self):
+        return json.dumps(self.todict())
+
+    def __repr__(self):
+        return self.tojson()
+
+    def __eq__(self, ob):
+        return self.todict() == ob.todict()
+
+    def add_score(self, score):
+        self.score = score
+
+
+class BIGSI(SampleMetadata, KmerSignatureIndex):
+    def __init__(self, config=None, engine_factory=None):
+        if config is None:
+            config = DEFAULT_CONFIG
+        self.config = config
+        self.storage = get_storage(config)
+        SampleMetadata.__init__(self, self.storage.kv)
+        KmerSignatureIndex.__init__(
+            self, self.storage, engine_factory=_resolve_engine_factory(config, engine_factory)
+        )
+        self.min_unique_kmers_in_query = MIN_UNIQUE_KMERS_IN_QUERY
+        self.scorer = Scorer(self.num_samples)
+
+    @property
+    def kmer_size(self):
+        return self.config["k"]
+
+    @property
+    def nproc(self):
+        return self.config.get("nproc", DEFAULT_NPROC)
+
+    # -- build-time classmethods --------------------------------------
+
+    @classmethod
+    def bloom(cls, config, kmers):
+        kmers = convert_query_kmers(kmers)
+        bloomfilter = BloomFilter(m=config["m"], h=config["h"])
+        bloomfilter.update(kmers)
+        return bloomfilter.bitarray
+
+    @classmethod
+    def build(cls, config, bloomfilters, samples, engine_factory=None):
+        storage = get_storage(config)
+        validate_build_params(bloomfilters, samples)
+        logger.debug("Insert sample metadata")
+        SampleMetadata(storage.kv).add_samples(samples)
+        logger.debug("Create signature index")
+        KmerSignatureIndex.create(
+            storage,
+            bloomfilters,
+            config["m"],
+            config["h"],
+            config.get("low_mem_build", False),
+        )
+        storage.close()
+        return cls(config, engine_factory=engine_factory)
+
+    # -- queries ------------------------------------------------------
+
+    def search(self, seq, threshold=1.0, score=False):
+        self.__validate_search_query(seq)
+        assert threshold <= 1
+        kmer_mat = seq_to_kmer_matrix(seq, self.kmer_size)
+        uniq, inverse = unique_rows_with_inverse(kmer_mat)
+        packed = self.lookup_packed(uniq)  # [K, W] over distinct kmers
+        num_kmers = uniq.shape[0]
+        min_kmers = math.ceil(num_kmers * threshold)
+        if threshold == 1.0:
+            results = self.__exact_filter(packed, num_kmers)
+        else:
+            results = self.__inexact_filter(packed, num_kmers, min_kmers)
+        if score:
+            self.__score(packed, inverse, results)
+        return [
+            r.todict()
+            for r in results
+            if not r.sample_name == DELETION_SPECIAL_SAMPLE_NAME
+        ]
+
+    def __exact_filter(self, packed, num_kmers):
+        colours = self.engine.exact_colours(packed)
+        colours = [int(c) for c in colours]
+        samples = self.get_sample_list(colours)
+        return [
+            BigsiQueryResult(
+                colour=c,
+                sample_name=s,
+                num_kmers=num_kmers,
+                num_kmers_found=num_kmers,
+            )
+            for c, s in zip(colours, samples)
+        ]
+
+    def get_sample_list(self, colours):
+        colours_to_samples = self.colours_to_samples(colours)
+        return [colours_to_samples[i] for i in colours]
+
+    def __inexact_filter(self, packed, num_kmers, min_kmers):
+        counts = self.engine.counts(packed, self.num_samples)
+        keep = np.flatnonzero(counts >= min_kmers)
+        results = [
+            BigsiQueryResult(
+                colour=int(colour),
+                sample_name=self.colour_to_sample(int(colour)),
+                num_kmers_found=int(counts[colour]),
+                num_kmers=num_kmers,
+            )
+            for colour in keep
+        ]
+        results.sort(key=lambda x: x.num_kmers_found, reverse=True)
+        return results
+
+    def __score(self, packed, inverse, results):
+        # Presence matrix over ALL query positions (duplicates included),
+        # matching ``bigsi.py:232-239`` which stacks one row per k-mer of
+        # the sliding window.
+        X = self.engine.presence_matrix(packed, self.num_samples)[inverse]
+        for res in results:
+            col = "".join("1" if v else "0" for v in X[:, res.colour])
+            score_results = self.scorer.score(col)
+            score_results["kmer-presence"] = col
+            res.add_score(score_results)
+
+    # -- mutation -----------------------------------------------------
+
+    def insert(self, bloomfilter, sample):
+        logger.warning("Build and merge is preferable to insert in most cases")
+        colour = self.add_sample(sample)
+        self.insert_bloom(bloomfilter, colour - 1)
+        self.storage.sync()
+
+    def delete(self):
+        self.storage.delete_all()
+
+    def __validate_merge(self, bigsi):
+        assert self.bloomfilter_size == bigsi.bloomfilter_size
+        assert self.num_hashes == bigsi.num_hashes
+        assert self.kmer_size == bigsi.kmer_size
+
+    def merge(self, bigsi):
+        self.__validate_merge(bigsi)
+        self.merge_indexes(bigsi)
+        self.merge_metadata(bigsi)
+        self.storage.sync()
+
+    def __validate_search_query(self, seq):
+        kmers = set()
+        for k in self.seq_to_kmers(seq):
+            kmers.add(k)
+            if len(kmers) > self.min_unique_kmers_in_query:
+                return True
+        logger.warning(
+            "Query string should contain at least %i unique kmers. "
+            "Your query contained %i unique kmers, and as a result the "
+            "false discovery rate may be high."
+            % (self.min_unique_kmers_in_query, len(kmers))
+        )
+
+    def seq_to_kmers(self, seq):
+        return seq_to_kmers(seq, self.kmer_size)
+
+
+def _resolve_engine_factory(config, engine_factory):
+    """Pick the compute engine: explicit factory > config > host numpy.
+
+    ``config["engine"]``: ``"numpy"`` (default) or ``"tpu"`` — the
+    latter stages the matrix into device HBM and runs the fused
+    gather/AND/popcount kernels (see bigsi_tpu.index.device_engine).
+    """
+    if engine_factory is not None:
+        return engine_factory
+    engine = config.get("engine", "numpy")
+    if engine == "numpy":
+        return None
+    if engine == "tpu":
+        from bigsi_tpu.index.device_engine import DeviceEngine
+
+        return DeviceEngine
+    raise ValueError("unknown engine %r" % engine)

@@ -1,0 +1,111 @@
+"""K-mer signature index: hashing + bit-matrix lookups.
+
+Parity with ``bigsi/graph/index.py``: parameters stored under
+``ksi:bloomfilter_size`` / ``ksi:num_hashes``; lookups canonicalize the
+query k-mer but report the query form; create = transpose blooms into
+the bitslice matrix; merge = column concatenation.
+
+The data plane differs by design: instead of h x |kmers| KV row fetches
+(``index.py:72-73``), lookups are one vectorized hash of the whole
+k-mer batch followed by a fused gather/AND on the selected engine
+(numpy host oracle, or the TPU engine in
+:mod:`bigsi_tpu.index.device_engine`).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
+from bigsi_tpu.index.host_engine import HostEngine
+from bigsi_tpu.kmers import (
+    ascii_to_strings,
+    canonicalize_kmer_matrix,
+    seq_to_ascii,
+    unique_rows_with_inverse,
+)
+from bigsi_tpu.matrix.bitmatrix import BitSliceMatrix, transpose_blooms
+from bigsi_tpu.matrix.packing import pack_bits_lsb, unpack_bits_lsb
+
+logger = logging.getLogger(__name__)
+
+BLOOMFILTER_SIZE_KEY = "ksi:bloomfilter_size"
+NUM_HASH_FUNCTS_KEY = "ksi:num_hashes"
+
+
+class KmerSignatureIndex:
+    def __init__(self, storage, engine_factory=None):
+        self.storage = storage
+        self.bloomfilter_size = storage.kv.get_integer(BLOOMFILTER_SIZE_KEY)
+        self.num_hashes = storage.kv.get_integer(NUM_HASH_FUNCTS_KEY)
+        self.bitmatrix = storage.load_matrix()
+        factory = engine_factory or HostEngine
+        self.engine = factory(self.bitmatrix)
+
+    @classmethod
+    def create(
+        cls, storage, bloomfilters, bloomfilter_size, num_hashes, lowmem=False
+    ) -> "KmerSignatureIndex":
+        bloomfilters = [
+            bf.bitarray if hasattr(bf, "bitarray") else np.asarray(bf)
+            for bf in bloomfilters
+        ]
+        storage.kv.set_integer(BLOOMFILTER_SIZE_KEY, bloomfilter_size)
+        storage.kv.set_integer(NUM_HASH_FUNCTS_KEY, num_hashes)
+        logger.debug("Transpose bitarrays")
+        words = transpose_blooms(bloomfilters, bloomfilter_size)
+        matrix = BitSliceMatrix(words, num_cols=len(bloomfilters))
+        logger.debug("Persist matrix")
+        storage.save_matrix(matrix)
+        storage.sync()
+        return cls(storage)
+
+    # -- hashing ------------------------------------------------------
+
+    def kmer_matrix_to_row_idx(self, kmer_matrix: np.ndarray) -> np.ndarray:
+        """Distinct ASCII k-mers [K, k] -> bloom row indices int64 [K, h].
+
+        Hashes the *canonical* form, reports the query form — semantics
+        of ``index.py:62-70``.
+        """
+        canon = canonicalize_kmer_matrix(kmer_matrix)
+        return hash_kmer_matrix(canon, self.num_hashes, self.bloomfilter_size)
+
+    # -- lookups ------------------------------------------------------
+
+    def lookup_packed(self, kmer_matrix: np.ndarray) -> np.ndarray:
+        """Distinct k-mer matrix [K, k] -> packed presence uint32 [K, W]."""
+        row_idx = self.kmer_matrix_to_row_idx(kmer_matrix)
+        return self.engine.and_rows(row_idx)
+
+    def lookup(self, kmers, remove_trailing_zeros: bool = True) -> dict:
+        """Public API parity: {query_kmer: presence bool array}.
+
+        With ``remove_trailing_zeros`` the arrays have length
+        ``num_cols``; otherwise the reference's byte-padded width
+        (here: word-padded — padding bits are always zero).
+        """
+        if isinstance(kmers, str):
+            kmers = [kmers]
+        kmers = list(dict.fromkeys(kmers))  # dedupe, stable order
+        if not kmers:
+            return {}
+        mat = np.stack([seq_to_ascii(k) for k in kmers])
+        packed = self.lookup_packed(mat)
+        n = self.bitmatrix.num_cols if remove_trailing_zeros else None
+        bits = unpack_bits_lsb(packed, n).astype(bool)
+        return dict(zip(kmers, bits))
+
+    # -- mutation -----------------------------------------------------
+
+    def insert_bloom(self, bloomfilter, column_index: int) -> None:
+        bits = bloomfilter.bitarray if hasattr(bloomfilter, "bitarray") else bloomfilter
+        self.bitmatrix.ensure_writable()
+        self.bitmatrix.insert_column(np.asarray(bits, dtype=bool), column_index)
+        self.storage.save_matrix(self.bitmatrix)
+
+    def merge_indexes(self, ksi: "KmerSignatureIndex") -> None:
+        self.bitmatrix.merge(ksi.bitmatrix)
+        self.storage.save_matrix(self.bitmatrix)
