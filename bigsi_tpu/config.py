@@ -1,0 +1,69 @@
+"""Config loading + validation.
+
+Reference: YAML file path from CLI arg or ``BIGSI_CONFIG`` env, else
+defaults (``bigsi/__main__.py:86-94``).  Schema is a superset of the
+reference's: ``k``, ``m``, ``h``, ``nproc``, ``storage-engine``,
+``storage-config``, ``max_build_mem_bytes`` plus the TPU-native keys
+``engine`` ("numpy" | "tpu") and ``mesh`` (device-mesh axis sizes for
+sharded query, see bigsi_tpu.parallel).  Unlike the reference (which
+KeyErrors at point of use), configs are validated up front.
+"""
+
+from __future__ import annotations
+
+import os
+
+import yaml
+
+from bigsi_tpu.constants import DEFAULT_CONFIG
+
+REQUIRED_KEYS = ("k", "m", "h")
+KNOWN_ENGINES = ("numpy", "tpu")
+
+
+def get_config_from_file(config_file: str | None) -> dict:
+    if config_file is None:
+        if os.environ.get("BIGSI_CONFIG"):
+            config_file = os.environ.get("BIGSI_CONFIG")
+        else:
+            return dict(DEFAULT_CONFIG)
+    with open(config_file, "r") as infile:
+        config = yaml.safe_load(infile)
+    return validate_config(config)
+
+
+def validate_config(config: dict) -> dict:
+    for key in REQUIRED_KEYS:
+        if key not in config:
+            raise ValueError("config missing required key %r" % key)
+        if not isinstance(config[key], int) or config[key] <= 0:
+            raise ValueError("config key %r must be a positive integer" % key)
+    engine = config.get("engine", "numpy")
+    if engine not in KNOWN_ENGINES:
+        raise ValueError(
+            "unknown engine %r (expected one of %s)" % (engine, list(KNOWN_ENGINES))
+        )
+    if config["k"] > 31:
+        raise ValueError("k must be <= 31 (2-bit uint64 packing)")
+    return config
+
+
+def parse_size(text) -> int:
+    """Parse human-friendly sizes ("500MB", "4GiB", 1024) -> bytes.
+
+    Replaces the reference's ``humanfriendly.parse_size``
+    (``__main__.py:161-164``).
+    """
+    if isinstance(text, (int, float)):
+        return int(text)
+    s = str(text).strip().upper().replace(" ", "")
+    units = {
+        "B": 1,
+        "KB": 10 ** 3, "MB": 10 ** 6, "GB": 10 ** 9, "TB": 10 ** 12,
+        "KIB": 2 ** 10, "MIB": 2 ** 20, "GIB": 2 ** 30, "TIB": 2 ** 40,
+        "K": 10 ** 3, "M": 10 ** 6, "G": 10 ** 9, "T": 10 ** 12,
+    }
+    for unit in sorted(units, key=len, reverse=True):
+        if s.endswith(unit):
+            return int(float(s[: -len(unit)]) * units[unit])
+    return int(float(s))
