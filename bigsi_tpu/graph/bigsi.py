@@ -144,6 +144,11 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         uniq, inverse = unique_rows_with_inverse(kmer_mat)
         packed = self.lookup_packed(uniq)  # [K, W] over distinct kmers
         num_kmers = uniq.shape[0]
+        if num_kmers == 0:
+            # Queries shorter than k have no k-mers; the reference
+            # crashes here (UnboundLocalError in unpack_and_sum) — we
+            # return no hits instead.
+            return []
         min_kmers = math.ceil(num_kmers * threshold)
         if threshold == 1.0:
             results = self.__exact_filter(packed, num_kmers)

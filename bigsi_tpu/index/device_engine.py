@@ -1,0 +1,102 @@
+"""TPU compute engine: HBM-resident matrix + jitted query kernels.
+
+Drop-in replacement for :class:`bigsi_tpu.index.host_engine.HostEngine`
+(same method surface, numpy in / numpy out at the boundaries) that keeps
+the packed matrix on device and runs gather/AND/count there.  Query
+k-mer counts are bucketed to a few static shapes so XLA compiles once
+per bucket; padding k-mers are masked out.
+
+Selected via ``config["engine"] = "tpu"`` or explicitly through
+``BIGSI(config, engine_factory=DeviceEngine)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bigsi_tpu.matrix.bitmatrix import BitSliceMatrix
+from bigsi_tpu.ops.lookup import and_rows_jnp, counts_from_packed, exact_and_reduce
+
+_MIN_BUCKET = 64
+
+
+def bucket_size(k: int) -> int:
+    b = _MIN_BUCKET
+    while b < k:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _and_rows(matrix, row_idx):
+    return and_rows_jnp(matrix, row_idx)
+
+
+@jax.jit
+def _counts(packed, mask):
+    return counts_from_packed(packed, mask)
+
+
+@jax.jit
+def _exact(packed, mask):
+    return exact_and_reduce(packed, mask)
+
+
+class DeviceEngine:
+    def __init__(self, matrix: BitSliceMatrix, device=None):
+        self.matrix = matrix
+        self.device = device or jax.devices()[0]
+        self.words = jax.device_put(np.asarray(matrix.words), self.device)
+
+    # `packed` flows through BIGSI opaquely: device arrays stay on
+    # device between and_rows and the reductions.
+
+    def and_rows(self, row_idx: np.ndarray):
+        k = row_idx.shape[0]
+        if k == 0:
+            return np.empty((0, self.matrix.num_words), dtype=np.uint32)
+        b = bucket_size(k)
+        idx = np.zeros((b, row_idx.shape[1]), dtype=np.int32)
+        idx[:k] = row_idx
+        packed = _and_rows(self.words, jax.device_put(idx, self.device))
+        return _PackedQuery(packed, k)
+
+    def exact_colours(self, packed) -> np.ndarray:
+        if isinstance(packed, np.ndarray):  # empty-query path
+            return np.empty(0, dtype=np.int64)
+        allk = np.asarray(_exact(packed.rows, packed.mask))
+        bits = np.unpackbits(allk.view(np.uint8), bitorder="little")
+        return np.flatnonzero(bits).astype(np.int64)
+
+    def counts(self, packed, num_cols: int) -> np.ndarray:
+        if isinstance(packed, np.ndarray):
+            return np.zeros(num_cols, dtype=np.int64)
+        counts = np.asarray(_counts(packed.rows, packed.mask))
+        return counts[:num_cols].astype(np.int64)
+
+    def presence_matrix(self, packed, num_cols: int) -> np.ndarray:
+        if isinstance(packed, np.ndarray):
+            return np.empty((0, num_cols), dtype=np.uint8)
+        host = np.asarray(packed.rows[: packed.k])
+        bits = np.unpackbits(host.view(np.uint8), axis=-1, bitorder="little")
+        return bits[:, :num_cols]
+
+
+class _PackedQuery:
+    """Device presence rows for one query's (bucketed) k-mer batch."""
+
+    def __init__(self, rows: jax.Array, k: int):
+        self.rows = rows
+        self.k = k
+
+    @property
+    def mask(self) -> jax.Array:
+        return (jnp.arange(self.rows.shape[0]) < self.k)
+
+    @property
+    def shape(self):
+        return (self.k, self.rows.shape[1])

@@ -1,0 +1,81 @@
+"""Device query ops (pure jnp / XLA).
+
+The query pipeline over the packed bitslice matrix ``uint32[m, W]``:
+
+1. gather the ``h`` hash rows of each k-mer (``jnp.take``),
+2. AND over ``h`` -> per-kmer presence ``uint32[K, W]``,
+3. either AND over k-mers (exact filter) or unpack + sum (hit counts).
+
+Replaces the reference's storage row fetches + bitarray ops
+(``bigsi/graph/index.py:72-80``, ``bigsi/graph/bigsi.py:35-56``).
+These are the XLA-fused reference kernels; the Pallas versions in
+:mod:`bigsi_tpu.ops.pallas_lookup` fuse the gather with the
+AND/popcount accumulation to avoid materializing ``[K*h, W]`` in HBM.
+
+All shapes are static: callers bucket ``K`` (pad row indices with 0)
+and pass a validity mask.  Padding k-mers contribute the AND identity
+(all-ones) to the exact filter and zero to the counts.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIT_SHIFTS = None
+
+
+def _bit_shifts():
+    global _BIT_SHIFTS
+    if _BIT_SHIFTS is None:
+        _BIT_SHIFTS = jnp.arange(32, dtype=jnp.uint32)
+    return _BIT_SHIFTS
+
+
+def and_rows_jnp(matrix: jax.Array, row_idx: jax.Array) -> jax.Array:
+    """matrix uint32[m, W], row_idx int32[K, h] -> uint32[K, W]."""
+    rows = jnp.take(matrix, row_idx.reshape(-1), axis=0)
+    rows = rows.reshape(row_idx.shape[0], row_idx.shape[1], -1)
+    # unrolled AND over the (small, static) h axis
+    out = rows[:, 0, :]
+    for j in range(1, row_idx.shape[1]):
+        out = out & rows[:, j, :]
+    return out
+
+
+def unpack_words(packed: jax.Array) -> jax.Array:
+    """uint32[..., W] -> uint8 bits [..., W*32] (sample-ordered)."""
+    bits = (packed[..., None] >> _bit_shifts()) & jnp.uint32(1)
+    return bits.reshape(*packed.shape[:-1], packed.shape[-1] * 32).astype(jnp.uint8)
+
+
+def counts_from_packed(packed: jax.Array, mask: jax.Array) -> jax.Array:
+    """Per-sample hit counts: uint32[K, W], bool[K] -> int32[W*32].
+
+    Equivalent of ``unpack_and_sum`` (``bigsi.py:35-44``), fused by XLA:
+    the [K, W, 32] unpack never materializes.
+    """
+    bits = (packed[:, :, None] >> _bit_shifts()[None, None, :]) & jnp.uint32(1)
+    bits = bits.astype(jnp.int32) * mask[:, None, None].astype(jnp.int32)
+    counts = bits.sum(axis=0)  # [W, 32]
+    return counts.reshape(-1)
+
+
+def exact_and_reduce(packed: jax.Array, mask: jax.Array) -> jax.Array:
+    """AND over all valid k-mers: uint32[K, W], bool[K] -> uint32[W]."""
+    ones = jnp.uint32(0xFFFFFFFF)
+    masked = jnp.where(mask[:, None], packed, ones)
+    return jax.lax.reduce(
+        masked, ones, jax.lax.bitwise_and, dimensions=(0,)
+    )
+
+
+def query_counts_jnp(
+    matrix: jax.Array, row_idx: jax.Array, mask: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Full single-query step: -> (counts int32[N_padded], exact uint32[W]).
+
+    One fused jit region: gather + AND over h + (count, exact-AND).
+    """
+    packed = and_rows_jnp(matrix, row_idx)
+    return counts_from_packed(packed, mask), exact_and_reduce(packed, mask)

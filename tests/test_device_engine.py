@@ -1,0 +1,84 @@
+"""Device (jnp) engine parity vs the host numpy oracle.
+
+Runs on the CPU backend (8 virtual devices, tests/conftest.py); the
+same code path compiles for TPU.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bigsi_tpu import BIGSI
+from bigsi_tpu.index.device_engine import DeviceEngine, bucket_size
+from bigsi_tpu.index.host_engine import HostEngine
+from bigsi_tpu.kmers import seq_to_kmers
+from bigsi_tpu.matrix.bitmatrix import BitSliceMatrix
+from bigsi_tpu.storage import get_storage
+
+
+def random_matrix(rng, m, n):
+    blooms = [rng.random(m) < 0.3 for _ in range(n)]
+    return BitSliceMatrix.create(blooms, m, n)
+
+
+# m and h are drawn from small sets: each distinct (m, h) is a fresh
+# XLA compilation, and unconstrained draws turn this into a
+# recompilation storm (~200s).  n and K vary freely — n only changes
+# the (lane-padded) W when crossing 4096 and K is bucketed.
+@settings(deadline=None, max_examples=10)
+@given(
+    st.sampled_from([64, 200]),  # rows m
+    st.integers(min_value=1, max_value=300),  # samples n
+    st.integers(min_value=1, max_value=40),  # kmers K
+    st.sampled_from([1, 3]),  # hashes h
+    st.integers(min_value=0, max_value=2 ** 31),
+)
+def test_engine_parity(m, n, K, h, seed):
+    rng = np.random.default_rng(seed)
+    mat = random_matrix(rng, m, n)
+    host = HostEngine(mat)
+    dev = DeviceEngine(mat)
+    row_idx = rng.integers(0, m, size=(K, h))
+
+    hp = host.and_rows(row_idx)
+    dp = dev.and_rows(row_idx)
+    assert np.array_equal(np.asarray(dp.rows[:K]), hp)
+    assert np.array_equal(dev.exact_colours(dp), host.exact_colours(hp))
+    assert np.array_equal(dev.counts(dp, n), host.counts(hp, n))
+    assert np.array_equal(dev.presence_matrix(dp, n), host.presence_matrix(hp, n))
+
+
+def test_bucket_size():
+    assert bucket_size(1) == 64
+    assert bucket_size(64) == 64
+    assert bucket_size(65) == 128
+    assert bucket_size(1000) == 1024
+
+
+def test_end_to_end_search_with_tpu_engine():
+    cfg = {
+        "storage-engine": "memory",
+        "storage-config": {"filename": "dev-e2e"},
+        "k": 3,
+        "m": 1000,
+        "h": 3,
+        "engine": "tpu",
+    }
+    get_storage(cfg).delete_all()
+    kmers_1 = seq_to_kmers("ATACACAAT", 3)
+    kmers_2 = seq_to_kmers("ATACACAAC", 3)
+    bloom1 = BIGSI.bloom(cfg, kmers_1)
+    bloom2 = BIGSI.bloom(cfg, kmers_2)
+    bigsi = BIGSI.build(cfg, [bloom1, bloom2], ["a", "b"])
+
+    cfg_np = dict(cfg, engine="numpy")
+    oracle = BIGSI(cfg_np)
+    for seq, t, score in [
+        ("ATACACAAT", 1.0, False),
+        ("ATACACAAT", 0.5, False),
+        ("ATACACAAT", 0.5, True),
+        ("ACAGTTAAC", 0.5, False),
+    ]:
+        assert bigsi.search(seq, t, score) == oracle.search(seq, t, score)
+    bigsi.delete()
