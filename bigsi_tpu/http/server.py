@@ -1,0 +1,236 @@
+"""HTTP API.
+
+Route-for-route with the reference's hug app (``bigsi/__main__.py``):
+
+* ``GET/POST /search?seq=...&threshold=&score=&format=``
+* ``GET/POST /bulk_search?fasta=...`` (server-side FASTA path)
+* ``POST /insert?bloomfilter=...&sample=...``
+* ``POST /merge?merge_config=...``
+* ``GET/POST /variant_search?reference=...&ref=&pos=&alt=[&gene=&genbank=]``
+* ``DELETE /``
+
+Implemented on the stdlib ``http.server`` with a threading server: one
+shared BIGSI handle serves all requests (queries are read-only; the
+engine batches on device).  Responses carry
+``Access-Control-Allow-Origin: *`` and the citation DOI like the
+reference.  No hug/falcon/uWSGI dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from bigsi_tpu.cmds import (
+    BIGSIAminoAcidMutationSearch,
+    BIGSIVariantSearch,
+    insert,
+    merge,
+)
+from bigsi_tpu.config import get_config_from_file
+from bigsi_tpu.graph import BIGSI
+from bigsi_tpu.io.fasta import read_fasta
+
+logger = logging.getLogger(__name__)
+
+CITATION = "http://dx.doi.org/10.1038/s41587-018-0010-1"
+
+
+def _bool(v, default=False):
+    if v is None:
+        return default
+    return str(v).lower() in ("1", "true", "yes", "on")
+
+
+class BigsiHTTPServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, addr, config):
+        self.config = config
+        self._bigsi = None
+        self._lock = threading.Lock()
+        super().__init__(addr, _Handler)
+
+    @property
+    def bigsi(self) -> BIGSI:
+        with self._lock:
+            if self._bigsi is None:
+                self._bigsi = BIGSI(self.config)
+            return self._bigsi
+
+    def invalidate(self):
+        with self._lock:
+            self._bigsi = None
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server: BigsiHTTPServer
+
+    def log_message(self, fmt, *args):
+        logger.info("%s %s", self.address_string(), fmt % args)
+
+    def _params(self) -> dict:
+        parsed = urllib.parse.urlparse(self.path)
+        params = {k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()}
+        length = int(self.headers.get("Content-Length") or 0)
+        if length:
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            if "json" in ctype:
+                params.update(json.loads(body))
+            else:
+                params.update(
+                    {k: v[0] for k, v in urllib.parse.parse_qs(body.decode()).items()}
+                )
+        return params
+
+    def _route(self) -> str:
+        return urllib.parse.urlparse(self.path).path.rstrip("/") or "/"
+
+    def _reply(self, payload, status=200, content_type="application/json"):
+        body = payload if isinstance(payload, bytes) else payload.encode()
+        self.send_response(status)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, exc, status=500):
+        logger.exception("request failed")
+        self._reply(json.dumps({"error": str(exc)}), status=status)
+
+    def do_GET(self):
+        self._dispatch({"/search", "/bulk_search", "/variant_search", "/"})
+
+    def do_POST(self):
+        self._dispatch(
+            {"/search", "/bulk_search", "/variant_search", "/insert", "/merge", "/build"}
+        )
+
+    def do_DELETE(self):
+        route = self._route()
+        if route != "/":
+            return self._reply(json.dumps({"error": "not found"}), 404)
+        try:
+            self.server.bigsi.delete()
+            self.server.invalidate()
+            self._reply(json.dumps({"result": "success"}))
+        except Exception as e:  # noqa: BLE001 — surface as HTTP 500
+            self._error(e)
+
+    def _dispatch(self, allowed):
+        route = self._route()
+        if route not in allowed:
+            return self._reply(json.dumps({"error": "not found"}), 404)
+        try:
+            params = self._params()
+            handler = {
+                "/": self._handle_root,
+                "/search": self._handle_search,
+                "/bulk_search": self._handle_bulk_search,
+                "/variant_search": self._handle_variant_search,
+                "/insert": self._handle_insert,
+                "/merge": self._handle_merge,
+            }[route]
+            handler(params)
+        except KeyError as e:
+            self._error("missing parameter: %s" % e, status=400)
+        except Exception as e:  # noqa: BLE001
+            self._error(e)
+
+    def _search_dict(self, seq, threshold, score):
+        bigsi = self.server.bigsi
+        return {
+            "query": seq,
+            "threshold": threshold,
+            "results": bigsi.search(seq, threshold, score),
+            "citation": CITATION,
+        }
+
+    def _handle_root(self, params):
+        self._reply(
+            json.dumps(
+                {
+                    "service": "bigsi-tpu",
+                    "routes": ["/search", "/bulk_search", "/variant_search", "/insert", "/merge"],
+                }
+            )
+        )
+
+    def _handle_search(self, params):
+        from bigsi_tpu.__main__ import d_to_csv
+
+        d = self._search_dict(
+            params["seq"],
+            float(params.get("threshold", 1.0)),
+            _bool(params.get("score")),
+        )
+        if params.get("format") == "csv":
+            self._reply(d_to_csv(d), content_type="text/csv")
+        else:
+            self._reply(json.dumps(d, indent=4))
+
+    def _handle_bulk_search(self, params):
+        from bigsi_tpu.__main__ import d_to_csv
+
+        fasta = read_fasta(params["fasta"])
+        threshold = float(params.get("threshold", 1.0))
+        score = _bool(params.get("score"))
+        dd = [
+            self._search_dict(str(seq), threshold, score) for seq in fasta.values()
+        ]
+        if params.get("format") == "csv":
+            self._reply(
+                "\n".join(d_to_csv(d, i == 0, False) for i, d in enumerate(dd)),
+                content_type="text/csv",
+            )
+        else:
+            self._reply(json.dumps(dd, indent=4))
+
+    def _handle_variant_search(self, params):
+        bigsi = self.server.bigsi
+        gene, genbank = params.get("gene"), params.get("genbank")
+        if gene and genbank:
+            d = BIGSIAminoAcidMutationSearch(bigsi, params["reference"], genbank).search(
+                gene, params["ref"], int(params["pos"]), params["alt"]
+            )
+        elif gene or genbank:
+            raise ValueError("genbank and gene must be supplied together")
+        else:
+            d = BIGSIVariantSearch(bigsi, params["reference"]).search(
+                params["ref"], int(params["pos"]), params["alt"]
+            )
+        d["citation"] = CITATION
+        self._reply(json.dumps(d, indent=4))
+
+    def _handle_insert(self, params):
+        result = insert(
+            index=self.server.bigsi,
+            bloomfilter=params["bloomfilter"],
+            sample=params["sample"],
+        )
+        self.server.invalidate()
+        self._reply(json.dumps(result))
+
+    def _handle_merge(self, params):
+        merge_config = get_config_from_file(params["merge_config"])
+        result = merge(self.server.bigsi, BIGSI(merge_config))
+        self.server.invalidate()
+        self._reply(json.dumps(result))
+
+
+def make_server(config, host="0.0.0.0", port=8000) -> BigsiHTTPServer:
+    return BigsiHTTPServer((host, port), config)
+
+
+def serve(config, host="0.0.0.0", port=8000) -> None:
+    server = make_server(config, host, port)
+    logger.info("bigsi-tpu serving on %s:%d", host, port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
