@@ -1,0 +1,241 @@
+"""Multi-chip sharding of the signature index.
+
+The reference's only scale-out story is a network KV store shared by
+stateless clients (Redis, ``bigsi/storage/redis.py``) plus per-process
+``multiprocessing`` bulk search (``bigsi/__main__.py:276-283``).  Here
+scale-out is a ``jax.sharding.Mesh`` with three axes (SURVEY.md §2.3):
+
+* ``d`` — **query-batch data parallel**: queries split across devices;
+* ``k`` — **k-mer parallel** (the sequence/context-parallel analogue,
+  SURVEY.md §5.7): one query's k-mer set splits across devices, partial
+  hit counts merge with ``psum``;
+* ``s`` — **sample parallel** (the tensor-parallel analogue): the
+  packed matrix column-shards over devices, each holding
+  ``uint32[m, W/|s|]`` in HBM; per-shard counts concatenate with
+  ``all_gather``.
+
+All collectives are XLA-native and ride ICI.  The query step is one
+``shard_map``-ed jitted function; the same code runs on the 8-device
+CPU test mesh and on pod slices.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bigsi_tpu.ops.lookup import and_rows_jnp
+
+AXIS_BATCH = "d"
+AXIS_KMERS = "k"
+AXIS_SAMPLES = "s"
+
+
+def factor_devices(n: int) -> tuple[int, int, int]:
+    """Factor n devices into (d, k, s) mesh axis sizes.
+
+    Sample sharding gets the largest factor (the matrix is the big
+    operand), then batch, then k-mer parallelism.
+    """
+    best = (1, 1, n)
+    # enumerate factorizations d*k*s = n, prefer s >= d >= k
+    for d in range(1, n + 1):
+        if n % d:
+            continue
+        rest = n // d
+        for k in range(1, rest + 1):
+            if rest % k:
+                continue
+            s = rest // k
+            cand = (d, k, s)
+            # score: maximize s, then d
+            if (s, d, k) > (best[2], best[0], best[1]):
+                best = cand
+    return best
+
+
+def make_mesh(n_devices: int | None = None, axis_sizes=None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_devices or len(devices)
+    if axis_sizes is None:
+        axis_sizes = factor_devices(n)
+    d, k, s = axis_sizes
+    if d * k * s != n:
+        raise ValueError("mesh axes %r do not multiply to %d devices" % (axis_sizes, n))
+    arr = np.array(devices[:n]).reshape(d, k, s)
+    return Mesh(arr, (AXIS_BATCH, AXIS_KMERS, AXIS_SAMPLES))
+
+
+def pad_words_for_mesh(words: np.ndarray, mesh: Mesh) -> np.ndarray:
+    """Zero-pad the word axis so it splits evenly over the sample axis.
+
+    Padding columns are the zero phantom samples the layout already
+    carries (lane padding) — they never produce hits.
+    """
+    s = mesh.shape[AXIS_SAMPLES]
+    w = words.shape[1]
+    target = math.ceil(w / s) * s
+    if target == w:
+        return words
+    out = np.zeros((words.shape[0], target), dtype=np.uint32)
+    out[:, :w] = words
+    return out
+
+
+def shard_matrix(words: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Place the packed matrix with rows replicated over (d, k) and the
+    word axis sharded over ``s`` — each device holds its column shard
+    in HBM."""
+    words = pad_words_for_mesh(words, mesh)
+    sharding = NamedSharding(mesh, P(None, AXIS_SAMPLES))
+    return jax.device_put(words, sharding)
+
+
+def make_sharded_query_step(mesh: Mesh, h: int):
+    """Build the jitted multi-chip batched query step.
+
+    step(words, row_idx, mask) with:
+      words   uint32[m, W]      sharded P(None, s)
+      row_idx int32[B, K, h]    sharded P(d, k, None)
+      mask    bool[B, K]        sharded P(d, k)
+    returns (counts int32[B, W*32], exact uint32[B, W]) sharded P(d, None).
+
+    Per device: gather+AND over its column shard for its query and
+    k-mer slice; counts psum over ``k`` and all_gather over ``s``;
+    exact filter all_gathers the (small) per-kmer-shard AND vectors
+    over ``k`` (AND has no ring collective) then concatenates over
+    ``s``.
+    """
+
+    def local_step(words_l, idx_l, mask_l):
+        b, kk, _ = idx_l.shape
+        packed = and_rows_jnp(words_l, idx_l.reshape(b * kk, h))
+        packed = packed.reshape(b, kk, -1)  # [B_l, K_l, W_l]
+
+        # hit counts: unpack + masked sum over local kmers
+        bits = (packed[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
+        bits = bits.astype(jnp.int32) * mask_l[:, :, None, None].astype(jnp.int32)
+        counts_l = bits.sum(axis=1).reshape(b, -1)  # [B_l, W_l*32]
+        counts_l = jax.lax.psum(counts_l, AXIS_KMERS)
+        counts = jax.lax.all_gather(
+            counts_l, AXIS_SAMPLES, axis=1, tiled=True
+        )  # [B_l, W*32]
+
+        # exact filter: AND over local kmers, combine over the k axis by
+        # gathering the per-shard AND vectors (W_l words are small)
+        ones = jnp.uint32(0xFFFFFFFF)
+        masked = jnp.where(mask_l[:, :, None], packed, ones)
+        exact_l = jax.lax.reduce(masked, ones, jax.lax.bitwise_and, (1,))  # [B_l, W_l]
+        exact_k = jax.lax.all_gather(exact_l, AXIS_KMERS, axis=0)  # [|k|, B_l, W_l]
+        exact_l = jax.lax.reduce(exact_k, ones, jax.lax.bitwise_and, (0,))
+        exact = jax.lax.all_gather(exact_l, AXIS_SAMPLES, axis=1, tiled=True)
+        return counts, exact
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(None, AXIS_SAMPLES),
+            P(AXIS_BATCH, AXIS_KMERS, None),
+            P(AXIS_BATCH, AXIS_KMERS),
+        ),
+        out_specs=(P(AXIS_BATCH, None), P(AXIS_BATCH, None)),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+class MeshEngine:
+    """Engine with the HostEngine surface, backed by a sharded mesh.
+
+    Single queries are a batch of one; ``bulk`` paths feed full
+    batches.  Constructed via ``config["mesh"]`` (axis sizes) or
+    ``MeshEngine(matrix, mesh=...)``.
+    """
+
+    def __init__(self, matrix, mesh: Mesh | None = None, h: int | None = None):
+        self.matrix = matrix
+        self.mesh = mesh or make_mesh()
+        self.words = shard_matrix(np.asarray(matrix.words), self.mesh)
+        self._steps = {}
+        self._h = h
+
+    def _step(self, h: int):
+        if h not in self._steps:
+            self._steps[h] = make_sharded_query_step(self.mesh, h)
+        return self._steps[h]
+
+    def _pad_sizes(self, b: int, k: int) -> tuple[int, int]:
+        db = self.mesh.shape[AXIS_BATCH]
+        dk = self.mesh.shape[AXIS_KMERS]
+        bucket_k = max(64, dk)
+        while bucket_k < k:
+            bucket_k *= 2
+        bucket_k = math.ceil(bucket_k / dk) * dk
+        bucket_b = math.ceil(b / db) * db
+        return bucket_b, bucket_k
+
+    def query_batch(self, row_idx_list):
+        """List of int [K_i, h] -> (counts int64 [B, N_pad], exact uint32 [B, W])."""
+        b = len(row_idx_list)
+        h = row_idx_list[0].shape[1]
+        kmax = max(r.shape[0] for r in row_idx_list)
+        bb, kk = self._pad_sizes(b, kmax)
+        idx = np.zeros((bb, kk, h), dtype=np.int32)
+        mask = np.zeros((bb, kk), dtype=bool)
+        for i, r in enumerate(row_idx_list):
+            idx[i, : r.shape[0]] = r
+            mask[i, : r.shape[0]] = True
+        counts, exact = self._step(h)(self.words, idx, mask)
+        return (
+            np.asarray(counts)[:b].astype(np.int64),
+            np.asarray(exact)[:b],
+        )
+
+    # -- HostEngine-compatible single-query surface --------------------
+
+    def and_rows(self, row_idx: np.ndarray):
+        # For the mesh engine the packed presence rows stay implicit;
+        # we keep the row indices and lazily run the fused step.
+        return _MeshQuery(self, row_idx)
+
+    def exact_colours(self, packed) -> np.ndarray:
+        if isinstance(packed, np.ndarray):
+            return np.empty(0, dtype=np.int64)
+        _, exact = packed.result()
+        bits = np.unpackbits(exact[0].view(np.uint8), bitorder="little")
+        return np.flatnonzero(bits).astype(np.int64)
+
+    def counts(self, packed, num_cols: int) -> np.ndarray:
+        if isinstance(packed, np.ndarray):
+            return np.zeros(num_cols, dtype=np.int64)
+        counts, _ = packed.result()
+        return counts[0, :num_cols]
+
+    def presence_matrix(self, packed, num_cols: int) -> np.ndarray:
+        if isinstance(packed, np.ndarray):
+            return np.empty((0, num_cols), dtype=np.uint8)
+        # scoring needs per-kmer presence; run the plain gather+AND on
+        # the sharded matrix (small K; result fetched to host)
+        rows = np.asarray(
+            jax.jit(and_rows_jnp)(self.words, jnp.asarray(packed.row_idx))
+        )
+        bits = np.unpackbits(rows.view(np.uint8), axis=-1, bitorder="little")
+        return bits[:, :num_cols]
+
+
+class _MeshQuery:
+    def __init__(self, engine: MeshEngine, row_idx: np.ndarray):
+        self.engine = engine
+        self.row_idx = row_idx
+        self._result = None
+
+    def result(self):
+        if self._result is None:
+            self._result = self.engine.query_batch([self.row_idx])
+        return self._result

@@ -1,0 +1,91 @@
+"""Sharded query step on the 8-virtual-device CPU mesh: parity with the
+host oracle across dp/kmer/sample parallel axis layouts."""
+
+import numpy as np
+import pytest
+import jax
+
+from bigsi_tpu.index.host_engine import HostEngine
+from bigsi_tpu.matrix.bitmatrix import BitSliceMatrix
+from bigsi_tpu.parallel.sharding import (
+    MeshEngine,
+    factor_devices,
+    make_mesh,
+    make_sharded_query_step,
+    shard_matrix,
+)
+
+
+def test_factor_devices():
+    assert factor_devices(1) == (1, 1, 1)
+    d, k, s = factor_devices(8)
+    assert d * k * s == 8 and s >= d >= k
+    assert factor_devices(8)[2] == 8  # all-samples by default scoring
+    d, k, s = factor_devices(6)
+    assert d * k * s == 6
+
+
+def random_matrix(rng, m, n):
+    blooms = [rng.random(m) < 0.3 for _ in range(n)]
+    return BitSliceMatrix.create(blooms, m, n)
+
+
+@pytest.mark.parametrize("axes", [(1, 1, 8), (2, 1, 4), (2, 2, 2), (8, 1, 1), (1, 8, 1)])
+def test_sharded_step_parity(axes):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    rng = np.random.default_rng(7)
+    m, n, h = 500, 1000, 3
+    mat = random_matrix(rng, m, n)
+    host = HostEngine(mat)
+    mesh = make_mesh(8, axes)
+    step = make_sharded_query_step(mesh, h)
+    words = shard_matrix(mat.words, mesh)
+
+    # B and K divisible by every tested axis size (raw step has no padding;
+    # MeshEngine does the padding for ragged shapes)
+    B, K = 8, 96
+    idx = rng.integers(0, m, size=(B, K, h)).astype(np.int32)
+    mask = rng.random((B, K)) < 0.9
+    counts, exact = step(words, idx, mask)
+    counts, exact = np.asarray(counts), np.asarray(exact)
+
+    for b in range(B):
+        valid = idx[b][mask[b]]
+        hp = host.and_rows(valid)
+        expect_counts = host.counts(hp, n)
+        assert np.array_equal(counts[b, :n], expect_counts), "counts axes=%s b=%d" % (
+            axes,
+            b,
+        )
+        expect_exact = host.exact_colours(hp)
+        bits = np.unpackbits(exact[b].view(np.uint8), bitorder="little")
+        assert np.array_equal(np.flatnonzero(bits), expect_exact)
+
+
+def test_mesh_engine_matches_host_engine():
+    rng = np.random.default_rng(3)
+    mat = random_matrix(rng, 300, 700)
+    host = HostEngine(mat)
+    mesh_eng = MeshEngine(mat, mesh=make_mesh(8, (2, 2, 2)), h=3)
+    row_idx = rng.integers(0, 300, size=(37, 3)).astype(np.int32)
+
+    hp = host.and_rows(row_idx)
+    mp = mesh_eng.and_rows(row_idx)
+    assert np.array_equal(mesh_eng.exact_colours(mp), host.exact_colours(hp))
+    assert np.array_equal(mesh_eng.counts(mp, 700), host.counts(hp, 700))
+    assert np.array_equal(
+        mesh_eng.presence_matrix(mp, 700), host.presence_matrix(hp, 700)
+    )
+
+
+def test_mesh_engine_batch():
+    rng = np.random.default_rng(4)
+    mat = random_matrix(rng, 200, 256)
+    host = HostEngine(mat)
+    eng = MeshEngine(mat, mesh=make_mesh(8, (4, 1, 2)), h=2)
+    queries = [rng.integers(0, 200, size=(k, 2)).astype(np.int32) for k in (5, 31, 64, 7, 100)]
+    counts, exact = eng.query_batch(queries)
+    assert counts.shape[0] == len(queries)
+    for i, q in enumerate(queries):
+        hp = host.and_rows(q)
+        assert np.array_equal(counts[i, :256], host.counts(hp, 256))
