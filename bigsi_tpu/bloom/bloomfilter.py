@@ -21,9 +21,18 @@ def build_bloom_from_kmer_matrix(
     kmers: np.ndarray, m: int, h: int, out: np.ndarray | None = None
 ) -> np.ndarray:
     """Set the Bloom bits for an ASCII k-mer matrix [K, k] -> bool [m]."""
+    import os
+
     if out is None:
         out = np.zeros(m, dtype=bool)
     if kmers.shape[0]:
+        if out.flags.c_contiguous and not os.environ.get("BIGSI_TPU_NO_NATIVE"):
+            from bigsi_tpu import native
+
+            # bool and uint8 share layout; the native hasher+setter skips
+            # materializing the [K, h] index matrix entirely
+            if native.bloom_insert_batch(kmers, h, m, out.view(np.uint8)):
+                return out
         idx = hash_kmer_matrix(kmers, h, m)
         out[idx.ravel()] = True
     return out

@@ -126,8 +126,17 @@ def hash_kmer_matrix(kmers: np.ndarray, num_hashes: int, m: int) -> np.ndarray:
     """Bloom bucket indices for an ASCII k-mer matrix.
 
     Returns int64 [K, h]: ``mmh3.hash(kmer, seed) % m`` with Python
-    floor-mod semantics (always non-negative).
+    floor-mod semantics (always non-negative).  Uses the native C++
+    hasher when built (bit-identical; see tests/test_native.py).
     """
+    import os
+
+    if kmers.shape[0] and not os.environ.get("BIGSI_TPU_NO_NATIVE"):
+        from bigsi_tpu import native
+
+        out = native.hash_kmer_batch(kmers, num_hashes, m)
+        if out is not None:
+            return out
     seeds = np.arange(num_hashes, dtype=np.uint32)
     hashes = murmur3_32_batch(kmers, seeds).astype(np.int64)
     return np.mod(hashes, m)

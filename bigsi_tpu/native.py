@@ -1,0 +1,171 @@
+"""ctypes bindings for the native host runtime (native/bigsi_native.cpp).
+
+The library is optional: every entry point has a numpy implementation
+and callers go through :func:`available` / the accelerated wrappers
+which fall back transparently.  Build with ``make -C native`` (done
+automatically on first import if a compiler is present).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libbigsi_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "lib"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception as e:  # noqa: BLE001 — any failure means "no native lib"
+        logger.debug("native build failed: %s", e)
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and os.path.exists(
+        os.path.join(_NATIVE_DIR, "bigsi_native.cpp")
+    ):
+        _build()
+    if os.path.exists(_LIB_PATH):
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.murmur3_32.restype = ctypes.c_uint32
+            lib.murmur3_32.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_uint32,
+            ]
+            _lib = lib
+        except OSError as e:
+            logger.warning("could not load native lib: %s", e)
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def hash_kmer_batch(kmers: np.ndarray, h: int, m: int) -> np.ndarray | None:
+    """Native fast path for hashing.murmur3.hash_kmer_matrix."""
+    lib = _load()
+    if lib is None:
+        return None
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint8)
+    K, k = kmers.shape
+    out = np.empty((K, h), dtype=np.int64)
+    lib.hash_kmer_batch(
+        _ptr(kmers),
+        ctypes.c_int64(K),
+        ctypes.c_int(k),
+        ctypes.c_int(h),
+        ctypes.c_int64(m),
+        _ptr(out),
+    )
+    return out
+
+
+def bloom_insert_batch(kmers: np.ndarray, h: int, m: int, bloom: np.ndarray) -> bool:
+    """Set bloom bits for all kmers into a uint8 0/1 bitmap. True if native ran."""
+    lib = _load()
+    if lib is None:
+        return False
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint8)
+    assert bloom.dtype == np.uint8 and bloom.flags.c_contiguous
+    K, k = kmers.shape
+    lib.bloom_insert_batch(
+        _ptr(kmers),
+        ctypes.c_int64(K),
+        ctypes.c_int(k),
+        ctypes.c_int(h),
+        ctypes.c_int64(m),
+        _ptr(bloom),
+    )
+    return True
+
+
+def transpose_blooms(blooms, num_rows: int, w_out: int) -> np.ndarray | None:
+    """Native bitslice transpose: list of uint8 0/1 arrays -> uint32 rows."""
+    lib = _load()
+    if lib is None:
+        return None
+    arrs = [np.ascontiguousarray(b, dtype=np.uint8) for b in blooms]
+    ptrs = (ctypes.c_void_p * len(arrs))(
+        *[a.ctypes.data_as(ctypes.c_void_p).value for a in arrs]
+    )
+    out = np.zeros((num_rows, w_out), dtype=np.uint32)
+    lib.transpose_blooms(
+        ptrs,
+        ctypes.c_int64(len(arrs)),
+        ctypes.c_int64(num_rows),
+        _ptr(out),
+        ctypes.c_int64(w_out),
+    )
+    return out
+
+
+def decode_cortex_kmers(packed: np.ndarray, k: int) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint64)
+    out = np.empty((len(packed), k), dtype=np.uint8)
+    lib.decode_cortex_kmers(
+        _ptr(packed), ctypes.c_int64(len(packed)), ctypes.c_int(k), _ptr(out)
+    )
+    return out
+
+
+def canonicalize_kmers_inplace(kmers: np.ndarray) -> bool:
+    lib = _load()
+    if lib is None or kmers.shape[1] > 64:
+        return False
+    assert kmers.dtype == np.uint8 and kmers.flags.c_contiguous
+    lib.canonicalize_kmers(
+        _ptr(kmers), ctypes.c_int64(kmers.shape[0]), ctypes.c_int(kmers.shape[1])
+    )
+    return True
+
+
+def and_count_rows(matrix: np.ndarray, idx: np.ndarray) -> np.ndarray | None:
+    """Host query fast path: AND h rows per kmer + per-sample counts."""
+    lib = _load()
+    if lib is None:
+        return None
+    matrix = np.ascontiguousarray(matrix, dtype=np.uint32)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    K, h = idx.shape
+    counts = np.zeros(matrix.shape[1] * 32, dtype=np.int64)
+    lib.and_count_rows(
+        _ptr(matrix),
+        ctypes.c_int64(matrix.shape[1]),
+        _ptr(idx),
+        ctypes.c_int64(K),
+        ctypes.c_int(h),
+        _ptr(counts),
+    )
+    return counts

@@ -79,3 +79,30 @@ def query_counts_jnp(
     """
     packed = and_rows_jnp(matrix, row_idx)
     return counts_from_packed(packed, mask), exact_and_reduce(packed, mask)
+
+
+def batched_counts_jnp(matrix, row_idx, mask):
+    """Batched hit counts: row_idx int32[B, K, h], mask bool[B, K]
+    -> counts int32[B, W*32]."""
+    b, k, h = row_idx.shape
+    packed = and_rows_jnp(matrix, row_idx.reshape(b * k, h)).reshape(b, k, -1)
+    bits = (packed[..., None] >> _bit_shifts()) & jnp.uint32(1)
+    bits = bits.astype(jnp.int32) * mask[:, :, None, None].astype(jnp.int32)
+    return bits.sum(axis=1).reshape(b, -1)
+
+
+def best_query_step(m: int, b: int, k: int, h: int):
+    """Currently-best jitted batched step for the bench/serving loop.
+
+    step(words, idx, mask, salt) -> (counts, salt'): the salt chains
+    steps into a dependency sequence (benchmarking) and perturbs the
+    row indices so identical dispatches can't be coalesced.
+    """
+
+    @jax.jit
+    def step(words, idx, mask, salt):
+        idx = (idx + salt) % m
+        counts = batched_counts_jnp(words, idx, mask)
+        return counts, (counts[0, 0] & jnp.int32(7))
+
+    return step

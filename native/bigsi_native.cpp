@@ -1,0 +1,175 @@
+// bigsi-tpu native host runtime: the build-path data plane.
+//
+// TPU-native equivalents of the reference's native substrate
+// (SURVEY.md §2.2): mmh3's MurmurHash3_x86_32 (bigsi/bloom/
+// bloomfilter.py:5-13 binds the C++ mmh3 wheel), bitarray's packed-bit
+// ops, and the numpy transpose (bigsi/matrix/transpose.py:33-43).
+// Exposed as a C ABI consumed via ctypes (no pybind11 in this image).
+//
+// Layout contracts (must match bigsi_tpu/matrix/packing.py):
+//   * bloom files / bloom bitmaps: MSB-first within each byte
+//   * matrix rows: little-endian uint32, LSB-first within each word
+//   * 2-bit cortex kmer words: see bigsi_tpu/io/cortex.py
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// ---------------------------------------------------------------- murmur3
+
+static inline uint32_t rotl32(uint32_t x, int8_t r) {
+  return (x << r) | (x >> (32 - r));
+}
+
+static inline uint32_t fmix32(uint32_t h) {
+  h ^= h >> 16;
+  h *= 0x85ebca6bu;
+  h ^= h >> 13;
+  h *= 0xc2b2ae35u;
+  h ^= h >> 16;
+  return h;
+}
+
+// MurmurHash3_x86_32 of one key.
+uint32_t murmur3_32(const uint8_t* data, int len, uint32_t seed) {
+  const int nblocks = len / 4;
+  uint32_t h1 = seed;
+  const uint32_t c1 = 0xcc9e2d51u, c2 = 0x1b873593u;
+  for (int i = 0; i < nblocks; i++) {
+    uint32_t k1;
+    std::memcpy(&k1, data + 4 * i, 4);
+    k1 *= c1; k1 = rotl32(k1, 15); k1 *= c2;
+    h1 ^= k1; h1 = rotl32(h1, 13); h1 = h1 * 5 + 0xe6546b64u;
+  }
+  const uint8_t* tail = data + nblocks * 4;
+  uint32_t k1 = 0;
+  switch (len & 3) {
+    case 3: k1 ^= (uint32_t)tail[2] << 16; [[fallthrough]];
+    case 2: k1 ^= (uint32_t)tail[1] << 8;  [[fallthrough]];
+    case 1: k1 ^= tail[0];
+            k1 *= c1; k1 = rotl32(k1, 15); k1 *= c2; h1 ^= k1;
+  }
+  h1 ^= (uint32_t)len;
+  return fmix32(h1);
+}
+
+// Batch: K keys of fixed length k (row-major [K, k]) x h seeds 0..h-1,
+// bucket = ((int32_t)hash) mod m with Python floor-mod semantics.
+// out: int64 [K, h].
+void hash_kmer_batch(const uint8_t* kmers, int64_t K, int k, int h,
+                     int64_t m, int64_t* out) {
+  for (int64_t i = 0; i < K; i++) {
+    const uint8_t* key = kmers + i * k;
+    for (int s = 0; s < h; s++) {
+      int32_t v = (int32_t)murmur3_32(key, k, (uint32_t)s);
+      int64_t r = (int64_t)v % m;
+      if (r < 0) r += m;
+      out[i * h + s] = r;
+    }
+  }
+}
+
+// ---------------------------------------------------------------- bloom
+
+// Set bloom bits (byte bitmap, one byte per bit for simplicity on the
+// host side) for K fixed-length kmers.
+void bloom_insert_batch(const uint8_t* kmers, int64_t K, int k, int h,
+                        int64_t m, uint8_t* bloom) {
+  for (int64_t i = 0; i < K; i++) {
+    const uint8_t* key = kmers + i * k;
+    for (int s = 0; s < h; s++) {
+      int32_t v = (int32_t)murmur3_32(key, k, (uint32_t)s);
+      int64_t r = (int64_t)v % m;
+      if (r < 0) r += m;
+      bloom[r] = 1;
+    }
+  }
+}
+
+// ------------------------------------------------------------- transpose
+
+// Transpose N bloom byte-bitmaps (bloom[n][row] in {0,1}, each length
+// num_rows) into packed uint32 bitslice rows out[num_rows][W_out]
+// (LSB-first: sample n -> word n>>5, bit n&31).  blooms: pointer array.
+void transpose_blooms(const uint8_t* const* blooms, int64_t n,
+                      int64_t num_rows, uint32_t* out, int64_t w_out) {
+  std::memset(out, 0, sizeof(uint32_t) * (size_t)(num_rows * w_out));
+  for (int64_t s = 0; s < n; s++) {
+    const uint8_t* b = blooms[s];
+    const int64_t w = s >> 5;
+    const uint32_t bit = 1u << (s & 31);
+    uint32_t* col = out + w;
+    for (int64_t r = 0; r < num_rows; r++) {
+      if (b[r]) col[r * w_out] |= bit;
+    }
+  }
+}
+
+// Pack an MSB-first bloom byte stream (as stored in .bloom files) into
+// a 0/1 byte bitmap.
+void unpack_bloom_bytes(const uint8_t* data, int64_t nbytes, uint8_t* out) {
+  for (int64_t i = 0; i < nbytes; i++) {
+    uint8_t v = data[i];
+    uint8_t* o = out + i * 8;
+    o[0] = (v >> 7) & 1; o[1] = (v >> 6) & 1; o[2] = (v >> 5) & 1;
+    o[3] = (v >> 4) & 1; o[4] = (v >> 3) & 1; o[5] = (v >> 2) & 1;
+    o[6] = (v >> 1) & 1; o[7] = v & 1;
+  }
+}
+
+// ---------------------------------------------------------------- cortex
+
+// Decode R cortex-packed uint64 kmers to ASCII [R, k]
+// (bit layout: bigsi_tpu/io/cortex.py docstring).
+void decode_cortex_kmers(const uint64_t* packed, int64_t R, int k,
+                         uint8_t* out) {
+  static const char BASES[4] = {'A', 'G', 'C', 'T'};
+  for (int64_t i = 0; i < R; i++) {
+    uint64_t v = packed[i];
+    uint8_t* row = out + (int64_t)i * k;
+    for (int p = 0; p < k; p++) {
+      int j = k - 1 - p;
+      unsigned lo = (v >> (2 * j)) & 1u;
+      unsigned hi = (v >> (2 * j + 1)) & 1u;
+      row[p] = (uint8_t)BASES[lo * 2 + hi];
+    }
+  }
+}
+
+// Canonicalize ASCII kmers in place: row = min(row, revcomp(row)).
+void canonicalize_kmers(uint8_t* kmers, int64_t K, int k) {
+  uint8_t comp[256];
+  for (int i = 0; i < 256; i++) comp[i] = (uint8_t)i;
+  comp['A'] = 'T'; comp['T'] = 'A'; comp['C'] = 'G'; comp['G'] = 'C';
+  uint8_t rc[64];
+  for (int64_t i = 0; i < K; i++) {
+    uint8_t* row = kmers + i * k;
+    for (int p = 0; p < k; p++) rc[p] = comp[row[k - 1 - p]];
+    if (std::memcmp(rc, row, (size_t)k) < 0) std::memcpy(row, rc, (size_t)k);
+  }
+}
+
+// --------------------------------------------------------- query (host)
+
+// AND h packed rows per kmer and accumulate per-sample counts.
+// matrix: uint32 [m, W]; idx: int64 [K, h]; counts: int64 [W*32].
+void and_count_rows(const uint32_t* matrix, int64_t w,
+                    const int64_t* idx, int64_t K, int h,
+                    int64_t* counts) {
+  for (int64_t i = 0; i < K; i++) {
+    const int64_t* rows = idx + i * h;
+    for (int64_t word = 0; word < w; word++) {
+      uint32_t acc = matrix[rows[0] * w + word];
+      for (int j = 1; j < h; j++) acc &= matrix[rows[j] * w + word];
+      while (acc) {
+        int b = __builtin_ctz(acc);
+        counts[word * 32 + b]++;
+        acc &= acc - 1;
+      }
+    }
+  }
+}
+
+}  // extern "C"
