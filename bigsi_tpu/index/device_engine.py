@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bigsi_tpu.matrix.bitmatrix import BitSliceMatrix
-from bigsi_tpu.ops.lookup import and_rows_jnp, counts_from_packed, exact_and_reduce
+from bigsi_tpu.ops.lookup import counts_from_packed, exact_and_reduce
 
 _MIN_BUCKET = 64
 
@@ -31,9 +31,14 @@ def bucket_size(k: int) -> int:
     return b
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _and_rows(matrix, row_idx):
-    return and_rows_jnp(matrix, row_idx)
+@functools.partial(jax.jit, static_argnames=("g", "w"))
+def _and_rows_fat(fat, row_idx, g, w):
+    k, h = row_idx.shape
+    rows = fat_gather(fat, g, w, row_idx.reshape(-1)).reshape(k, h, w)
+    out = rows[:, 0, :]
+    for j in range(1, h):
+        out = out & rows[:, j, :]
+    return out
 
 
 @jax.jit
@@ -46,11 +51,55 @@ def _exact(packed, mask):
     return exact_and_reduce(packed, mask)
 
 
+def fat_pack(words: np.ndarray) -> tuple[np.ndarray, int]:
+    """Re-pack narrow rows into 128-lane fat rows for lane-efficient HBM.
+
+    [m, W] with W < 128 -> ([ceil(m/G), G*W], G) where G = 128 // W_p
+    and W_p is W rounded up to a power of two; bitslice row r lives in
+    fat row r // G at word segment r % G.  For W >= 128 (W padded to a
+    multiple of 128) this is the identity with G = 1.
+    """
+    m, w = words.shape
+    wp = 8
+    while wp < w:
+        wp *= 2
+    if wp >= 128:
+        wp = ((w + 127) // 128) * 128
+        g = 1
+    else:
+        g = 128 // wp
+    if wp != w:
+        padded = np.zeros((m, wp), dtype=np.uint32)
+        padded[:, :w] = words
+        words = padded
+    if g == 1:
+        return np.ascontiguousarray(words), 1
+    m_pad = ((m + g - 1) // g) * g
+    if m_pad != m:
+        grown = np.zeros((m_pad, wp), dtype=np.uint32)
+        grown[:m] = words
+        words = grown
+    return np.ascontiguousarray(words.reshape(m_pad // g, g * wp)), g
+
+
+def fat_gather(fat: jax.Array, g: int, w: int, row_idx: jax.Array) -> jax.Array:
+    """Gather bitslice rows from the fat-packed matrix -> uint32[R, w]."""
+    if g == 1:
+        return jnp.take(fat, row_idx, axis=0)[:, :w]
+    rows = jnp.take(fat, row_idx // g, axis=0)  # [R, g*wp]
+    wp = fat.shape[1] // g
+    rows = rows.reshape(rows.shape[0], g, wp)
+    seg = (row_idx % g)[:, None, None]
+    return jnp.take_along_axis(rows, seg, axis=1)[:, 0, :w]
+
+
 class DeviceEngine:
     def __init__(self, matrix: BitSliceMatrix, device=None):
         self.matrix = matrix
         self.device = device or jax.devices()[0]
-        self.words = jax.device_put(np.asarray(matrix.words), self.device)
+        fat, self.g = fat_pack(np.asarray(matrix.words))
+        self.words = jax.device_put(fat, self.device)
+        self.w = matrix.num_words
 
     # `packed` flows through BIGSI opaquely: device arrays stay on
     # device between and_rows and the reductions.
@@ -62,7 +111,9 @@ class DeviceEngine:
         b = bucket_size(k)
         idx = np.zeros((b, row_idx.shape[1]), dtype=np.int32)
         idx[:k] = row_idx
-        packed = _and_rows(self.words, jax.device_put(idx, self.device))
+        packed = _and_rows_fat(
+            self.words, jax.device_put(idx, self.device), self.g, self.w
+        )
         return _PackedQuery(packed, k)
 
     def exact_colours(self, packed) -> np.ndarray:

@@ -24,9 +24,12 @@ from bigsi_tpu.matrix.packing import (
     words_for,
 )
 
-# Pad the word axis so device shards tile onto 128-lane registers and
-# split evenly over sample-axis mesh shards.
-LANE_WORDS = 128
+# Pad the word axis to sublane granularity only; storing at full
+# 128-lane width would waste up to 16x memory for narrow indexes.  The
+# device engine re-packs narrow rows into 128-lane "fat rows" at
+# staging time, and mesh sharding pads further as needed
+# (bigsi_tpu/parallel/sharding.py pad_words_for_mesh).
+LANE_WORDS = 8
 
 DEFAULT_ROW_CHUNK = 1 << 14
 

@@ -22,14 +22,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_BIT_SHIFTS = None
-
-
 def _bit_shifts():
-    global _BIT_SHIFTS
-    if _BIT_SHIFTS is None:
-        _BIT_SHIFTS = jnp.arange(32, dtype=jnp.uint32)
-    return _BIT_SHIFTS
+    # fresh per trace — caching a jnp array globally would leak tracers
+    # when first materialized inside a jit trace
+    return jnp.arange(32, dtype=jnp.uint32)
 
 
 def and_rows_jnp(matrix: jax.Array, row_idx: jax.Array) -> jax.Array:

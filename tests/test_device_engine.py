@@ -82,3 +82,18 @@ def test_end_to_end_search_with_tpu_engine():
     ]:
         assert bigsi.search(seq, t, score) == oracle.search(seq, t, score)
     bigsi.delete()
+
+
+def test_fat_pack_gather_roundtrip():
+    import jax.numpy as jnp
+
+    from bigsi_tpu.index.device_engine import fat_gather, fat_pack
+
+    rng = np.random.default_rng(9)
+    for m, w in [(10, 1), (33, 2), (100, 8), (64, 32), (50, 96), (20, 130)]:
+        words = rng.integers(0, 2 ** 32, size=(m, w), dtype=np.uint32)
+        fat, g = fat_pack(words)
+        assert fat.shape[1] % 128 == 0 or w >= 128
+        idx = rng.integers(0, m, size=37).astype(np.int32)
+        got = np.asarray(fat_gather(jnp.asarray(fat), g, w, jnp.asarray(idx)))
+        assert np.array_equal(got, words[idx][:, :w])
