@@ -18,7 +18,8 @@ from bigsi_tpu.matrix.packing import bloom_bytes_to_bools, bools_to_bloom_bytes
 
 
 def build_bloom_from_kmer_matrix(
-    kmers: np.ndarray, m: int, h: int, out: np.ndarray | None = None
+    kmers: np.ndarray, m: int, h: int, out: np.ndarray | None = None,
+    layout: str = "classic",
 ) -> np.ndarray:
     """Set the Bloom bits for an ASCII k-mer matrix [K, k] -> bool [m]."""
     import os
@@ -26,14 +27,20 @@ def build_bloom_from_kmer_matrix(
     if out is None:
         out = np.zeros(m, dtype=bool)
     if kmers.shape[0]:
-        if out.flags.c_contiguous and not os.environ.get("BIGSI_TPU_NO_NATIVE"):
+        if (
+            layout == "classic"
+            and out.flags.c_contiguous
+            and not os.environ.get("BIGSI_TPU_NO_NATIVE")
+        ):
             from bigsi_tpu import native
 
             # bool and uint8 share layout; the native hasher+setter skips
             # materializing the [K, h] index matrix entirely
             if native.bloom_insert_batch(kmers, h, m, out.view(np.uint8)):
                 return out
-        idx = hash_kmer_matrix(kmers, h, m)
+        from bigsi_tpu.hashing.scheme import row_indices
+
+        idx = row_indices(kmers, h, m, layout)
         out[idx.ravel()] = True
     return out
 
@@ -41,9 +48,10 @@ def build_bloom_from_kmer_matrix(
 class BloomFilter:
     """API-compatible with the reference ``BloomFilter(m, h)``."""
 
-    def __init__(self, m: int, h: int):
+    def __init__(self, m: int, h: int, layout: str = "classic"):
         self.m = int(m)
         self.h = int(h)
+        self.layout = layout
         self.array = np.zeros(self.m, dtype=bool)
 
     @property
@@ -51,6 +59,12 @@ class BloomFilter:
         return self.array
 
     def add(self, element: str) -> None:
+        if self.layout != "classic":
+            from bigsi_tpu.hashing.scheme import row_indices
+
+            idx = row_indices(seq_to_ascii(element)[None, :], self.h, self.m, self.layout)
+            self.array[idx.ravel()] = True
+            return
         for i in generate_hashes(element, self.h, self.m):
             self.array[i] = True
 
@@ -60,7 +74,9 @@ class BloomFilter:
             k = len(elems[0])
             if all(len(e) == k for e in elems):
                 mat = np.stack([seq_to_ascii(e) for e in elems])
-                build_bloom_from_kmer_matrix(mat, self.m, self.h, out=self.array)
+                build_bloom_from_kmer_matrix(
+                    mat, self.m, self.h, out=self.array, layout=self.layout
+                )
             else:
                 for e in elems:
                     self.add(e)

@@ -114,7 +114,11 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
     @classmethod
     def bloom(cls, config, kmers):
         kmers = convert_query_kmers(kmers)
-        bloomfilter = BloomFilter(m=config["m"], h=config["h"])
+        bloomfilter = BloomFilter(
+            m=config["m"],
+            h=config["h"],
+            layout=config.get("layout", "classic"),
+        )
         bloomfilter.update(kmers)
         return bloomfilter.bitarray
 
@@ -131,6 +135,7 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             config["m"],
             config["h"],
             config.get("low_mem_build", False),
+            layout=config.get("layout", "classic"),
         )
         storage.close()
         return cls(config, engine_factory=engine_factory)
@@ -221,6 +226,7 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         assert self.bloomfilter_size == bigsi.bloomfilter_size
         assert self.num_hashes == bigsi.num_hashes
         assert self.kmer_size == bigsi.kmer_size
+        assert self.layout == bigsi.layout
 
     def merge(self, bigsi):
         self.__validate_merge(bigsi)

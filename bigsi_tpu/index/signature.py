@@ -18,7 +18,7 @@ import logging
 
 import numpy as np
 
-from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
+from bigsi_tpu.hashing.scheme import CLASSIC, LAYOUTS, row_indices
 from bigsi_tpu.index.host_engine import HostEngine
 from bigsi_tpu.kmers import (
     ascii_to_strings,
@@ -33,6 +33,7 @@ logger = logging.getLogger(__name__)
 
 BLOOMFILTER_SIZE_KEY = "ksi:bloomfilter_size"
 NUM_HASH_FUNCTS_KEY = "ksi:num_hashes"
+LAYOUT_KEY = "ksi:layout"
 
 
 class KmerSignatureIndex:
@@ -40,20 +41,33 @@ class KmerSignatureIndex:
         self.storage = storage
         self.bloomfilter_size = storage.kv.get_integer(BLOOMFILTER_SIZE_KEY)
         self.num_hashes = storage.kv.get_integer(NUM_HASH_FUNCTS_KEY)
+        try:
+            self.layout = storage.kv.get_string(LAYOUT_KEY)
+        except KeyError:
+            self.layout = CLASSIC
         self.bitmatrix = storage.load_matrix()
         factory = engine_factory or HostEngine
         self.engine = factory(self.bitmatrix)
 
     @classmethod
     def create(
-        cls, storage, bloomfilters, bloomfilter_size, num_hashes, lowmem=False
+        cls,
+        storage,
+        bloomfilters,
+        bloomfilter_size,
+        num_hashes,
+        lowmem=False,
+        layout=CLASSIC,
     ) -> "KmerSignatureIndex":
         bloomfilters = [
             bf.bitarray if hasattr(bf, "bitarray") else np.asarray(bf)
             for bf in bloomfilters
         ]
+        if layout not in LAYOUTS:
+            raise ValueError("unknown layout %r" % layout)
         storage.kv.set_integer(BLOOMFILTER_SIZE_KEY, bloomfilter_size)
         storage.kv.set_integer(NUM_HASH_FUNCTS_KEY, num_hashes)
+        storage.kv.set_string(LAYOUT_KEY, layout)
         logger.debug("Transpose bitarrays")
         words = transpose_blooms(bloomfilters, bloomfilter_size)
         matrix = BitSliceMatrix(words, num_cols=len(bloomfilters))
@@ -71,7 +85,9 @@ class KmerSignatureIndex:
         of ``index.py:62-70``.
         """
         canon = canonicalize_kmer_matrix(kmer_matrix)
-        return hash_kmer_matrix(canon, self.num_hashes, self.bloomfilter_size)
+        return row_indices(
+            canon, self.num_hashes, self.bloomfilter_size, self.layout
+        )
 
     # -- lookups ------------------------------------------------------
 

@@ -1,0 +1,123 @@
+"""Blocked Bloom layout: hashing scheme + end-to-end behaviour.
+
+``layout: blocked`` is a TPU-native extension (no reference
+counterpart): the first hash picks a TILE_ROWS-row tile, the h row
+hashes land inside it, so a query k-mer costs one tile fetch instead of
+h scattered row fetches.  Correctness contract: anything inserted is
+always found (no false negatives), search semantics are unchanged, and
+classic/blocked indexes refuse to merge.
+"""
+
+import numpy as np
+import pytest
+
+from bigsi_tpu import BIGSI
+from bigsi_tpu.bloom import BloomFilter
+from bigsi_tpu.hashing.scheme import BLOCKED, CLASSIC, TILE_ROWS, row_indices, tile_and_slots
+from bigsi_tpu.kmers import seq_to_ascii
+from bigsi_tpu.storage import get_storage
+
+
+def config(name="lay1", layout=BLOCKED, m=1024):
+    return {
+        "storage-engine": "memory",
+        "storage-config": {"filename": name},
+        "k": 3,
+        "m": m,
+        "h": 3,
+        "layout": layout,
+    }
+
+
+@pytest.fixture(autouse=True)
+def clean():
+    for n in ("lay1", "lay2", "lay3"):
+        get_storage({"storage-engine": "memory", "storage-config": {"filename": n}}).delete_all()
+    yield
+
+
+def kmat(kmers):
+    return np.stack([seq_to_ascii(k) for k in kmers])
+
+
+def test_blocked_rows_land_in_one_tile():
+    kmers = ["ATC", "ATA", "CGT", "TTT", "ACG", "GGC"]
+    idx = row_indices(kmat(kmers), 3, 1024, BLOCKED)
+    assert idx.shape == (6, 3)
+    tiles = idx // TILE_ROWS
+    assert (tiles == tiles[:, :1]).all()
+    assert (idx >= 0).all() and (idx < 1024).all()
+
+
+def test_blocked_tile_and_slots_consistent():
+    kmers = ["ATC", "CGT", "TTT"]
+    tile, slots = tile_and_slots(kmat(kmers), 3, 1024)
+    idx = row_indices(kmat(kmers), 3, 1024, BLOCKED)
+    np.testing.assert_array_equal(tile[:, None] * TILE_ROWS + slots, idx)
+
+
+def test_blocked_differs_from_classic():
+    kmers = ["ATC", "ATA", "CGT", "TTT"]
+    a = row_indices(kmat(kmers), 3, 1024, CLASSIC)
+    b = row_indices(kmat(kmers), 3, 1024, BLOCKED)
+    assert not np.array_equal(a, b)
+
+
+def test_bloom_filter_blocked_no_false_negatives():
+    bf = BloomFilter(m=1024, h=3, layout=BLOCKED)
+    kmers = ["ATC", "ATA", "CGT", "TTT", "ACG"]
+    bf.update(kmers)
+    idx = row_indices(kmat(kmers), 3, 1024, BLOCKED)
+    assert bf.array[idx.ravel()].all()
+
+
+def test_bloom_filter_blocked_add_matches_update():
+    a = BloomFilter(m=1024, h=3, layout=BLOCKED)
+    b = BloomFilter(m=1024, h=3, layout=BLOCKED)
+    kmers = ["ATC", "ATA", "CGT"]
+    a.update(kmers)
+    for km in kmers:
+        b.add(km)
+    np.testing.assert_array_equal(a.array, b.array)
+
+
+@pytest.mark.parametrize("engine", ["numpy", "tpu"])
+def test_end_to_end_blocked(engine):
+    cfg = {**config(), "engine": engine}
+    blooms = [
+        BIGSI.bloom(cfg, ["ATC", "ATA"]),
+        BIGSI.bloom(cfg, ["ATC", "ATT"]),
+        BIGSI.bloom(cfg, ["GGG"]),
+    ]
+    b = BIGSI.build(cfg, blooms, ["s1", "s2", "s3"])
+    assert b.layout == BLOCKED
+    hits = b.search("ATC")
+    names = {r["sample_name"] for r in hits}
+    assert {"s1", "s2"} <= names
+    assert "s3" not in names or True  # FP allowed, never required
+    exact = b.search("GGG")
+    assert any(r["sample_name"] == "s3" for r in exact)
+    # inexact threshold path
+    res = b.search("ATCT", threshold=0.5)
+    assert any(r["sample_name"] == "s2" for r in res)
+    b.delete()
+
+
+def test_layout_persisted_and_reopened():
+    cfg = config()
+    b = BIGSI.build(cfg, [BIGSI.bloom(cfg, ["ATC"])], ["s1"])
+    again = BIGSI(cfg)
+    assert again.layout == BLOCKED
+    assert again.search("ATC")
+    again.delete()
+
+
+def test_merge_layout_mismatch_rejected():
+    c1 = config("lay1", layout=CLASSIC)
+    c2 = config("lay2", layout=BLOCKED)
+    b1 = BIGSI.build(c1, [BIGSI.bloom(c1, ["ATC"])], ["a"])
+    b2 = BIGSI.build(c2, [BIGSI.bloom(c2, ["ATC"])], ["b"])
+    with pytest.raises(AssertionError):
+        b1.merge(b2)
+    b1.delete()
+    b2.delete()
