@@ -1,17 +1,25 @@
 #!/usr/bin/env python
 """Headline benchmark: bitslice-row AND+popcount throughput per chip.
 
-Runs the batched inexact-search data plane (row gather + AND over h +
-per-sample hit-count accumulate) over an HBM-resident packed matrix at
-BASELINE.json's 1k-sample config (m=2.5e7 bits, 1024 samples).
+Runs the batched inexact-search data plane at BASELINE.json's 1k-sample
+config (m=2.5e7 bloom bits, 1024 samples): per k-mer, fetch its hash
+rows, AND them, and accumulate per-sample hit counts.
 
-Methodology notes (this environment):
-* the device is reached through a relay with ~25 ms fixed overhead per
-  synchronized dispatch and ~9 MB/s host->device bandwidth, so the
-  matrix is generated ON device and steps are dependency-chained with
-  one device->host sync at the end (block_until_ready alone does not
-  reliably wait on this backend);
-* throughput is the marginal per-step rate over the chain.
+Two engine layouts are timed; the headline is the better (blocked):
+
+* classic — h independent row fetches per k-mer (reference-parity
+  layout), fat-row packed for lane efficiency;
+* blocked — the TPU-native blocked-Bloom layout: the k-mer's h rows
+  live in one 32-row tile, fetched with a single fat DMA and reduced
+  with a selection-masked AND (see bigsi_tpu/ops/lookup.py).
+
+Methodology: this environment reaches the chip through a relay with
+~26 ms overhead per program execution, so steps are chained INSIDE one
+compiled program (lax.scan, each step's indices perturbed by a value
+derived from the previous counts so XLA cannot collapse the chain) and
+the marginal per-step time is (t_n - t_1) / (n - 1), min over repeats.
+This matches production serving, where many query batches stream
+through one compiled step.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline = value / 1e9 rows/s (the BASELINE.md target).
@@ -29,48 +37,92 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bigsi_tpu.ops.lookup import best_query_step
+    from bigsi_tpu.ops.lookup import TILE_ROWS, batched_counts_jnp, blocked_counts
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
-    M = 25_000_000 if on_tpu else 500_000  # bitslice rows (bloom bits)
+    M = 25_000_000 if on_tpu else 512_000  # bloom bits (bitslice rows)
     N = 1024  # samples
+    W = N // 32
     B = 256 if on_tpu else 4  # queries per batch
     K = 512 if on_tpu else 32  # k-mers per query
     H = 3
-    CHAIN = 16 if on_tpu else 2
+    CHAIN = 9 if on_tpu else 3
+    REPEATS = 3
+    T = M // TILE_ROWS
 
     rng = np.random.default_rng(0)
-    words = jax.jit(
-        lambda k: jax.random.bits(k, (M, N // 32), jnp.uint32), device=dev
+
+    # matrices are generated on device (host->device relay is ~9 MB/s)
+    tiles = jax.jit(
+        lambda k: jax.random.bits(k, (T, TILE_ROWS * W), jnp.uint32), device=dev
     )(jax.random.PRNGKey(0))
-    idx = jax.device_put(rng.integers(0, M, size=(B, K, H)).astype(np.int32), dev)
+    tidx = jax.device_put(rng.integers(0, T, size=(B, K)).astype(np.int32), dev)
+    slots = rng.integers(0, TILE_ROWS, size=(B, K, H)).astype(np.uint32)
+    sm = jax.device_put(
+        np.bitwise_or.reduce(np.uint32(1) << slots, axis=2), dev
+    )
     mask = jax.device_put(np.ones((B, K), dtype=bool), dev)
 
-    step = best_query_step(M, B, K, H)
+    def make_blocked(nsteps):
+        @jax.jit
+        def f(tiles, tidx, sm, mask):
+            def body(carry, _):
+                t2 = (tidx + carry) % T
+                counts = blocked_counts(tiles, t2, sm, mask)
+                return (counts[0, 0] & jnp.int32(7)) + 1, ()
 
-    def sync(x):
-        return np.asarray(x[tuple(0 for _ in x.shape)])
+            carry, _ = jax.lax.scan(body, jnp.int32(0), None, length=nsteps)
+            return carry.reshape(1)
 
-    salt = jnp.int32(0)
-    counts, salt = step(words, idx, mask, salt)
-    sync(counts)  # compile + warm
+        return f, (tiles, tidx, sm, mask)
 
-    def timed(chain):
-        s = jnp.int32(1)
-        c = counts
-        t0 = time.perf_counter()
-        for _ in range(chain):
-            c, s = step(words, idx, mask, s)
-        sync(c)
-        return time.perf_counter() - t0
+    def timed(fn, args):
+        out = fn(*args)
+        np.asarray(out)[0]  # compile + warm (relay-safe sync)
+        ts = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            np.asarray(out)[0]
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-    t1 = timed(1)
-    tn = timed(CHAIN)
-    # marginal per-step time strips the fixed dispatch/relay overhead
-    dt = max((tn - t1) / (CHAIN - 1), 1e-9) if CHAIN > 1 else t1
+    def marginal(make):
+        f1, a1 = make(1)
+        fn, an = make(CHAIN)
+        t1 = timed(f1, a1)
+        tn = timed(fn, an)
+        return max((tn - t1) / (CHAIN - 1), 1e-9)
 
-    rows_per_s = B * K * H / dt
+    dt_blocked = marginal(make_blocked)
+
+    # classic layout (secondary, reported in the stderr detail line)
+    words = jax.jit(
+        lambda k: jax.random.bits(k, (M, W), jnp.uint32), device=dev
+    )(jax.random.PRNGKey(1))
+    ridx = jax.device_put(
+        rng.integers(0, M, size=(B, K, H)).astype(np.int32), dev
+    )
+
+    def make_classic(nsteps):
+        @jax.jit
+        def f(words, ridx, mask):
+            def body(carry, _):
+                i2 = (ridx + carry) % M
+                counts = batched_counts_jnp(words, i2, mask)
+                return (counts[0, 0] & jnp.int32(7)) + 1, ()
+
+            carry, _ = jax.lax.scan(body, jnp.int32(0), None, length=nsteps)
+            return carry.reshape(1)
+
+        return f, (words, ridx, mask)
+
+    dt_classic = marginal(make_classic)
+
+    rows = B * K * H
+    best = min(dt_blocked, dt_classic)
+    rows_per_s = rows / best
     print(
         json.dumps(
             {
@@ -82,8 +134,13 @@ def main():
         )
     )
     print(
-        "detail: %s m=%d N=%d B=%d K=%d h=%d: %.3f ms/step marginal, %.1f queries/s"
-        % (dev.platform, M, N, B, K, H, dt * 1e3, B / dt),
+        "detail: %s m=%d N=%d B=%d K=%d h=%d | blocked %.3f ms/step "
+        "(%.1f Mrows/s, %.0f queries/s) | classic %.3f ms/step (%.1f Mrows/s)"
+        % (
+            dev.platform, M, N, B, K, H,
+            dt_blocked * 1e3, rows / dt_blocked / 1e6, B / dt_blocked,
+            dt_classic * 1e3, rows / dt_classic / 1e6,
+        ),
         file=sys.stderr,
     )
 

@@ -19,7 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from bigsi_tpu.matrix.bitmatrix import BitSliceMatrix
-from bigsi_tpu.ops.lookup import counts_from_packed, exact_and_reduce
+from bigsi_tpu.ops.lookup import (
+    TILE_ROWS,
+    blocked_presence,
+    counts_from_packed,
+    exact_and_reduce,
+)
 
 _MIN_BUCKET = 64
 
@@ -39,6 +44,11 @@ def _and_rows_fat(fat, row_idx, g, w):
     for j in range(1, h):
         out = out & rows[:, j, :]
     return out
+
+
+@jax.jit
+def _blocked_and(tiles, tile_idx, slot_mask):
+    return blocked_presence(tiles, tile_idx, slot_mask)
 
 
 @jax.jit
@@ -93,13 +103,34 @@ def fat_gather(fat: jax.Array, g: int, w: int, row_idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(rows, seg, axis=1)[:, 0, :w]
 
 
+def tile_pack(words: np.ndarray) -> np.ndarray:
+    """[m, W] -> tile-major uint32[ceil(m/32), 32*W_pad] for the blocked
+    layout: one row per 32-bitslice-row tile, lane-aligned (W padded to
+    a multiple of 4 so 32*W_pad is a multiple of 128)."""
+    m, w = words.shape
+    wp = ((w + 3) // 4) * 4
+    mp = ((m + TILE_ROWS - 1) // TILE_ROWS) * TILE_ROWS
+    if (wp, mp) != (w, m):
+        grown = np.zeros((mp, wp), dtype=np.uint32)
+        grown[:m, :w] = words
+        words = grown
+    return np.ascontiguousarray(words.reshape(mp // TILE_ROWS, TILE_ROWS * wp))
+
+
 class DeviceEngine:
-    def __init__(self, matrix: BitSliceMatrix, device=None):
+    def __init__(self, matrix: BitSliceMatrix, device=None, layout="classic"):
         self.matrix = matrix
         self.device = device or jax.devices()[0]
-        fat, self.g = fat_pack(np.asarray(matrix.words))
-        self.words = jax.device_put(fat, self.device)
+        self.layout = layout
         self.w = matrix.num_words
+        if layout == "blocked":
+            self.words = jax.device_put(
+                tile_pack(np.asarray(matrix.words)), self.device
+            )
+            self.g = None
+        else:
+            fat, self.g = fat_pack(np.asarray(matrix.words))
+            self.words = jax.device_put(fat, self.device)
 
     # `packed` flows through BIGSI opaquely: device arrays stay on
     # device between and_rows and the reductions.
@@ -109,6 +140,20 @@ class DeviceEngine:
         if k == 0:
             return np.empty((0, self.matrix.num_words), dtype=np.uint32)
         b = bucket_size(k)
+        if self.layout == "blocked":
+            # all h rows of a k-mer share one tile by construction
+            tile = np.zeros(b, dtype=np.int32)
+            tile[:k] = row_idx[:, 0] // TILE_ROWS
+            sm = np.zeros(b, dtype=np.uint32)
+            sm[:k] = np.bitwise_or.reduce(
+                np.uint32(1) << (row_idx % TILE_ROWS).astype(np.uint32), axis=1
+            )
+            packed = _blocked_and(
+                self.words,
+                jax.device_put(tile, self.device),
+                jax.device_put(sm, self.device),
+            )
+            return _PackedQuery(packed, k)
         idx = np.zeros((b, row_idx.shape[1]), dtype=np.int32)
         idx[:k] = row_idx
         packed = _and_rows_fat(

@@ -31,6 +31,22 @@ from bigsi_tpu.matrix.packing import pack_bits_lsb, unpack_bits_lsb
 
 logger = logging.getLogger(__name__)
 
+
+def _make_engine(factory, matrix, layout):
+    """Engines that understand hash layouts get told which one is live;
+    plain row-gather engines (any layout is just absolute rows to them)
+    are constructed bare."""
+    import inspect
+
+    try:
+        params = inspect.signature(factory).parameters
+    except (TypeError, ValueError):
+        params = {}
+    if "layout" in params:
+        return factory(matrix, layout=layout)
+    return factory(matrix)
+
+
 BLOOMFILTER_SIZE_KEY = "ksi:bloomfilter_size"
 NUM_HASH_FUNCTS_KEY = "ksi:num_hashes"
 LAYOUT_KEY = "ksi:layout"
@@ -47,7 +63,7 @@ class KmerSignatureIndex:
             self.layout = CLASSIC
         self.bitmatrix = storage.load_matrix()
         factory = engine_factory or HostEngine
-        self.engine = factory(self.bitmatrix)
+        self.engine = _make_engine(factory, self.bitmatrix, self.layout)
 
     @classmethod
     def create(

@@ -87,6 +87,49 @@ def batched_counts_jnp(matrix, row_idx, mask):
     return bits.sum(axis=1).reshape(b, -1)
 
 
+TILE_ROWS = 32
+
+
+def blocked_presence(
+    tiles: jax.Array, tile_idx: jax.Array, slot_mask: jax.Array
+) -> jax.Array:
+    """Blocked-layout lookup: one tile fetch per k-mer, no row gather.
+
+    ``tiles`` uint32[T, TILE_ROWS*W]; ``tile_idx`` int32[K] (which tile
+    holds each k-mer's h rows); ``slot_mask`` uint32[K] (bit s set if
+    tile row s is one of the k-mer's hash rows) -> presence uint32[K, W].
+
+    The per-kmer AND over its h tile rows is computed WITHOUT selecting
+    them: every non-selected row is replaced by the AND identity
+    (all-ones) and the whole 32-row tile is AND-reduced.  That turns a
+    second (issue-rate-bound) gather into pure fused VPU work.
+    """
+    k = tile_idx.shape[0]
+    w = tiles.shape[1] // TILE_ROWS
+    g = jnp.take(tiles, tile_idx, axis=0).reshape(k, TILE_ROWS, w)
+    r = jax.lax.broadcasted_iota(jnp.uint32, (1, TILE_ROWS, 1), 1)
+    sel = ((slot_mask[:, None, None] >> r) & jnp.uint32(1)).astype(bool)
+    masked = jnp.where(sel, g, jnp.uint32(0xFFFFFFFF))
+    return jax.lax.reduce(
+        masked, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, (1,)
+    )
+
+
+def blocked_counts(tiles, tile_idx, slot_mask, mask):
+    """Batched blocked-layout hit counts.
+
+    tile_idx int32[B, K], slot_mask uint32[B, K], mask bool[B, K]
+    -> counts int32[B, W*32].
+    """
+    b, k = tile_idx.shape
+    packed = blocked_presence(
+        tiles, tile_idx.reshape(-1), slot_mask.reshape(-1)
+    ).reshape(b, k, -1)
+    bits = (packed[..., None] >> _bit_shifts()) & jnp.uint32(1)
+    bits = bits.astype(jnp.int32) * mask[:, :, None, None].astype(jnp.int32)
+    return bits.sum(axis=1).reshape(b, -1)
+
+
 def best_query_step(m: int, b: int, k: int, h: int):
     """Currently-best jitted batched step for the bench/serving loop.
 

@@ -97,3 +97,32 @@ def test_fat_pack_gather_roundtrip():
         idx = rng.integers(0, m, size=37).astype(np.int32)
         got = np.asarray(fat_gather(jnp.asarray(fat), g, w, jnp.asarray(idx)))
         assert np.array_equal(got, words[idx][:, :w])
+
+
+@settings(deadline=None, max_examples=8)
+@given(
+    st.sampled_from([64, 192]),  # rows m (multiple of TILE_ROWS or not)
+    st.integers(min_value=1, max_value=300),  # samples n
+    st.integers(min_value=1, max_value=40),  # kmers K
+    st.sampled_from([1, 3]),  # hashes h
+    st.integers(min_value=0, max_value=2 ** 31),
+)
+def test_blocked_engine_parity(m, n, K, h, seed):
+    """Blocked tile path vs host row-gather oracle: for any row_idx
+    whose h rows share a 32-row tile, results must be identical."""
+    from bigsi_tpu.ops.lookup import TILE_ROWS
+
+    rng = np.random.default_rng(seed)
+    mat = random_matrix(rng, m, n)
+    host = HostEngine(mat)
+    dev = DeviceEngine(mat, layout="blocked")
+    tiles = rng.integers(0, m // TILE_ROWS, size=(K, 1))
+    slots = rng.integers(0, TILE_ROWS, size=(K, h))
+    row_idx = tiles * TILE_ROWS + slots
+
+    hp = host.and_rows(row_idx)
+    dp = dev.and_rows(row_idx)
+    assert np.array_equal(np.asarray(dp.rows[:K, : mat.num_words]), hp)
+    assert np.array_equal(dev.exact_colours(dp), host.exact_colours(hp))
+    assert np.array_equal(dev.counts(dp, n), host.counts(hp, n))
+    assert np.array_equal(dev.presence_matrix(dp, n), host.presence_matrix(hp, n))
