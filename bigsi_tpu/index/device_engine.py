@@ -123,7 +123,7 @@ class DeviceEngine:
         self.device = device or jax.devices()[0]
         self.layout = layout
         self.w = matrix.num_words
-        if layout == "blocked":
+        if layout in ("blocked", "minimizer"):
             self.words = jax.device_put(
                 tile_pack(np.asarray(matrix.words)), self.device
             )
@@ -140,7 +140,7 @@ class DeviceEngine:
         if k == 0:
             return np.empty((0, self.matrix.num_words), dtype=np.uint32)
         b = bucket_size(k)
-        if self.layout == "blocked":
+        if self.layout in ("blocked", "minimizer"):
             # all h rows of a k-mer share one tile by construction
             tile = np.zeros(b, dtype=np.int32)
             tile[:k] = row_idx[:, 0] // TILE_ROWS

@@ -121,3 +121,78 @@ def test_merge_layout_mismatch_rejected():
         b1.merge(b2)
     b1.delete()
     b2.delete()
+
+
+def test_minimizer_rows_land_in_one_tile():
+    from bigsi_tpu.hashing.scheme import MINIMIZER
+
+    kmers = ["ATCGGATTACA", "TTTTGGGGCCA", "ACGTACGTACG"]
+    mat = kmat(kmers)
+    idx = row_indices(mat, 3, 4096, MINIMIZER)
+    tiles = idx // TILE_ROWS
+    assert (tiles == tiles[:, :1]).all()
+    assert (idx >= 0).all() and (idx < 4096).all()
+
+
+def test_minimizer_strand_invariant():
+    from bigsi_tpu.hashing.scheme import MINIMIZER, minimizer_tiles
+    from bigsi_tpu.kmers import canonicalize_kmer_matrix
+
+    # the tile is computed on the canonical form upstream; check the
+    # minimizer itself is strand-invariant so canonicalization order
+    # doesn't matter
+    kmers = ["ATCGGATTACA", "GGGGTTTTCCA"]
+    mat = kmat(kmers)
+    rc = np.stack(
+        [kmat([_revcomp(k)])[0] for k in kmers]
+    )
+    t1 = minimizer_tiles(mat, 128)
+    t2 = minimizer_tiles(rc, 128)
+    np.testing.assert_array_equal(t1, t2)
+
+
+def _revcomp(s):
+    comp = {"A": "T", "T": "A", "C": "G", "G": "C"}
+    return "".join(comp[c] for c in reversed(s))
+
+
+def test_minimizer_consecutive_kmers_share_tiles():
+    from bigsi_tpu.hashing.scheme import minimizer_tiles
+    from bigsi_tpu.kmers import seq_to_kmer_matrix
+
+    rng = np.random.default_rng(3)
+    seq = "".join(rng.choice(list("ACGT"), size=500))
+    mat = seq_to_kmer_matrix(seq, 31)
+    tiles = minimizer_tiles(mat, 10 ** 6)
+    runs = 1 + int(np.sum(tiles[1:] != tiles[:-1]))
+    # expected run length ~6 -> far fewer runs than kmers
+    assert runs < len(tiles) / 3
+
+
+@pytest.mark.parametrize("engine", ["numpy", "tpu"])
+def test_end_to_end_minimizer(engine):
+    from bigsi_tpu.hashing.scheme import MINIMIZER
+
+    cfg = {
+        "storage-engine": "memory",
+        "storage-config": {"filename": "lay3"},
+        "k": 11,
+        "m": 4096,
+        "h": 3,
+        "layout": MINIMIZER,
+        "engine": engine,
+    }
+    seq1 = "ATCGGATTACACCTGGAATTGG"
+    seq2 = "ATCGGATTACACCTGGAATAGG"
+    from bigsi_tpu.kmers import seq_to_kmers
+
+    blooms = [
+        BIGSI.bloom(cfg, seq_to_kmers(s, 11)) for s in (seq1, seq2)
+    ]
+    b = BIGSI.build(cfg, blooms, ["s1", "s2"])
+    assert b.layout == MINIMIZER
+    hits = b.search(seq1)
+    assert any(r["sample_name"] == "s1" for r in hits)
+    inex = b.search(seq1, threshold=0.3)
+    assert {r["sample_name"] for r in inex} >= {"s1", "s2"}
+    b.delete()
