@@ -196,9 +196,18 @@ def run(args) -> str | None:
     if cmd == "bulk_search":
         fasta = read_fasta(args.fasta)
         bigsi = BIGSI(config)
+        seqs = [str(seq) for seq in fasta.values()]
+        # one batched device dispatch for the whole file (reference used
+        # a multiprocessing.Pool here, ``bigsi/__main__.py:276-283``)
+        batch = bigsi.search_batch(seqs, args.threshold, args.score)
         out = []
-        for i, (name, seq) in enumerate(fasta.items()):
-            d = search_bigsi(bigsi, str(seq), args.threshold, args.score)
+        for i, (seq, results) in enumerate(zip(seqs, batch)):
+            d = {
+                "query": seq,
+                "threshold": args.threshold,
+                "results": results,
+                "citation": CITATION,
+            }
             if args.stream:
                 print(
                     d_to_csv(d, i == 0, False)

@@ -167,6 +167,85 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             if not r.sample_name == DELETION_SPECIAL_SAMPLE_NAME
         ]
 
+    def search_batch(self, seqs, threshold=1.0, score=False):
+        """Search many sequences in ONE device dispatch.
+
+        Returns a list (one entry per input seq) of result-dict lists —
+        each entry identical to what :meth:`search` returns for that
+        sequence.  Replaces the reference's ``bulk_search``
+        ``multiprocessing.Pool`` fan-out (``bigsi/__main__.py:276-283``)
+        with a single batched gather/AND/count program: queries are
+        padded to one static k-mer bucket and masked.
+
+        The exact filter needs no separate AND pass: a sample matches
+        exactly iff its hit count equals the distinct-kmer count.
+        Scoring (``score=True``) needs per-kmer presence rows, so those
+        queries fall back to the per-query path.
+        """
+        assert threshold <= 1
+        seqs = list(seqs)
+        if score or len(seqs) <= 1:
+            return [self.search(s, threshold, score) for s in seqs]
+        h = self.num_hashes
+        per_query = []  # (row_idx [K_i, h], num_kmers)
+        kmax = 1
+        for seq in seqs:
+            kmer_mat = seq_to_kmer_matrix(seq, self.kmer_size)
+            uniq, _ = unique_rows_with_inverse(kmer_mat)
+            if uniq.shape[0] == 0:
+                per_query.append((np.empty((0, h), dtype=np.int64), 0))
+                continue
+            row_idx = self.kmer_matrix_to_row_idx(uniq)
+            per_query.append((row_idx, uniq.shape[0]))
+            kmax = max(kmax, uniq.shape[0])
+        b = len(seqs)
+        idx = np.zeros((b, kmax, h), dtype=np.int64)
+        mask = np.zeros((b, kmax), dtype=bool)
+        for i, (row_idx, nk) in enumerate(per_query):
+            idx[i, :nk] = row_idx
+            mask[i, :nk] = True
+        counts = self._counts_batch(idx, mask)
+        out = []
+        for i, (_, num_kmers) in enumerate(per_query):
+            if num_kmers == 0:
+                out.append([])
+                continue
+            min_kmers = math.ceil(num_kmers * threshold)
+            keep = np.flatnonzero(counts[i] >= min_kmers)
+            results = [
+                BigsiQueryResult(
+                    colour=int(c),
+                    sample_name=self.colour_to_sample(int(c)),
+                    num_kmers_found=int(counts[i][c]),
+                    num_kmers=num_kmers,
+                )
+                for c in keep
+            ]
+            if threshold != 1.0:
+                results.sort(key=lambda x: x.num_kmers_found, reverse=True)
+            out.append(
+                [
+                    r.todict()
+                    for r in results
+                    if not r.sample_name == DELETION_SPECIAL_SAMPLE_NAME
+                ]
+            )
+        return out
+
+    def _counts_batch(self, idx, mask):
+        engine = self.engine
+        if hasattr(engine, "counts_batch"):
+            return engine.counts_batch(idx, mask, self.num_samples)
+        # engines without a batched op: per-query loop
+        counts = np.zeros((idx.shape[0], self.num_samples), dtype=np.int64)
+        for i in range(idx.shape[0]):
+            valid = mask[i]
+            if not valid.any():
+                continue
+            packed = engine.and_rows(idx[i][valid])
+            counts[i] = engine.counts(packed, self.num_samples)
+        return counts
+
     def __exact_filter(self, packed, num_kmers):
         colours = self.engine.exact_colours(packed)
         colours = [int(c) for c in colours]

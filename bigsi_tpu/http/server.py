@@ -180,8 +180,16 @@ class _Handler(BaseHTTPRequestHandler):
         fasta = read_fasta(params["fasta"])
         threshold = float(params.get("threshold", 1.0))
         score = _bool(params.get("score"))
+        seqs = [str(seq) for seq in fasta.values()]
+        batch = self.server.bigsi.search_batch(seqs, threshold, score)
         dd = [
-            self._search_dict(str(seq), threshold, score) for seq in fasta.values()
+            {
+                "query": seq,
+                "threshold": threshold,
+                "results": results,
+                "citation": CITATION,
+            }
+            for seq, results in zip(seqs, batch)
         ]
         if params.get("format") == "csv":
             self._reply(

@@ -46,6 +46,25 @@ def _and_rows_fat(fat, row_idx, g, w):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("g", "w"))
+def _counts_batch_fat(fat, row_idx, mask, g, w):
+    """Classic layout, batched: row_idx int32[B, K, h], mask bool[B, K]
+    -> counts int32[B, w*32].  One fused gather/AND/unpack-sum program."""
+    b, k, h = row_idx.shape
+    packed = _and_rows_fat.__wrapped__(fat, row_idx.reshape(b * k, h), g, w)
+    packed = packed.reshape(b, k, w)
+    bits = (packed[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
+    bits = bits.astype(jnp.int32) * mask[:, :, None, None].astype(jnp.int32)
+    return bits.sum(axis=1).reshape(b, -1)
+
+
+@jax.jit
+def _counts_batch_blocked(tiles, tile_idx, slot_mask, mask):
+    from bigsi_tpu.ops.lookup import blocked_counts
+
+    return blocked_counts(tiles, tile_idx, slot_mask, mask)
+
+
 @jax.jit
 def _blocked_and(tiles, tile_idx, slot_mask):
     return blocked_presence(tiles, tile_idx, slot_mask)
@@ -180,6 +199,77 @@ class DeviceEngine:
         host = np.asarray(packed.rows[: packed.k])
         bits = np.unpackbits(host.view(np.uint8), axis=-1, bitorder="little")
         return bits[:, :num_cols]
+
+    def counts_batch(
+        self, row_idx: np.ndarray, mask: np.ndarray, num_cols: int
+    ) -> np.ndarray:
+        """Batched per-query hit counts in ONE device dispatch.
+
+        row_idx int [B, K, h] (padding rows 0), mask bool [B, K] ->
+        int64 [B, num_cols].  This is the serving hot path: `bulk_search`
+        batches all FASTA records into one program execution instead of
+        the reference's one-process-per-chunk Pool (``__main__.py:278``).
+
+        Layout dispatch:
+        * minimizer + W == 32 on a real chip — the fused Pallas kernel
+          (tile-deduplicated DMA stream, see ops/pallas_lookup.py);
+        * blocked / minimizer otherwise — one tile fetch per k-mer,
+          selection-masked AND (ops/lookup.py:blocked_presence);
+        * classic — batched fat-row gather + AND over h.
+        """
+        b, k, h = row_idx.shape
+        if b == 0 or k == 0:
+            return np.zeros((b, num_cols), dtype=np.int64)
+        kb = bucket_size(k)
+        if self.layout in ("blocked", "minimizer"):
+            tile = np.zeros((b, kb), dtype=np.int32)
+            tile[:, :k] = row_idx[:, :, 0] // TILE_ROWS
+            sm = np.zeros((b, kb), dtype=np.uint32)
+            sm[:, :k] = np.where(
+                mask,
+                np.bitwise_or.reduce(
+                    np.uint32(1) << (row_idx % TILE_ROWS).astype(np.uint32), axis=2
+                ),
+                np.uint32(0),
+            )
+            if self._use_fused():
+                from bigsi_tpu.ops.pallas_lookup import query_counts_exact
+
+                counts, _ = query_counts_exact(
+                    self.words.reshape(-1, 128), tile, sm
+                )
+                return counts[:, :num_cols]
+            mfull = np.zeros((b, kb), dtype=bool)
+            mfull[:, :k] = mask
+            counts = _counts_batch_blocked(
+                self.words,
+                jax.device_put(tile, self.device),
+                jax.device_put(sm, self.device),
+                jax.device_put(mfull, self.device),
+            )
+            return np.asarray(counts)[:, :num_cols].astype(np.int64)
+        idx = np.zeros((b, kb, h), dtype=np.int32)
+        idx[:, :k] = row_idx
+        mfull = np.zeros((b, kb), dtype=bool)
+        mfull[:, :k] = mask
+        counts = _counts_batch_fat(
+            self.words,
+            jax.device_put(idx, self.device),
+            jax.device_put(mfull, self.device),
+            self.g,
+            self.w,
+        )
+        return np.asarray(counts)[:, :num_cols].astype(np.int64)
+
+    def _use_fused(self) -> bool:
+        """Fused Pallas path: minimizer layout, exactly 32 words per
+        bitslice row (1024-sample shard), on a real accelerator (the
+        interpret-mode fallback is far slower than blocked XLA)."""
+        return (
+            self.layout == "minimizer"
+            and self.words.shape[1] == 32 * 32
+            and self.device.platform != "cpu"
+        )
 
 
 class _PackedQuery:

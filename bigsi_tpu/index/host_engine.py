@@ -51,3 +51,22 @@ class HostEngine:
     def presence_matrix(self, packed: np.ndarray, num_cols: int) -> np.ndarray:
         """Unpacked 0/1 presence [K, num_cols] (scoring path)."""
         return unpack_bits_lsb(packed, num_cols)
+
+    def counts_batch(
+        self, row_idx: np.ndarray, mask: np.ndarray, num_cols: int
+    ) -> np.ndarray:
+        """Batched per-query hit counts.
+
+        row_idx int [B, K, h] (padding rows are 0), mask bool [B, K]
+        -> int64 [B, num_cols].  Oracle for the device engines'
+        single-dispatch batched path (``DeviceEngine.counts_batch``).
+        """
+        b = row_idx.shape[0]
+        out = np.zeros((b, num_cols), dtype=np.int64)
+        for i in range(b):
+            valid = mask[i]
+            if not valid.any():
+                continue
+            packed = self.and_rows(row_idx[i][valid])
+            out[i] = self.counts(packed, num_cols)
+        return out
