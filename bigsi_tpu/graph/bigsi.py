@@ -37,6 +37,7 @@ from bigsi_tpu.kmers import (
 )
 from bigsi_tpu.scoring import Scorer
 from bigsi_tpu.storage import get_storage
+from bigsi_tpu.utils.profiling import device_trace, metrics, phase
 
 logger = logging.getLogger(__name__)
 
@@ -126,18 +127,19 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
     def build(cls, config, bloomfilters, samples, engine_factory=None):
         storage = get_storage(config)
         validate_build_params(bloomfilters, samples)
-        logger.debug("Insert sample metadata")
-        SampleMetadata(storage.kv).add_samples(samples)
-        logger.debug("Create signature index")
-        KmerSignatureIndex.create(
-            storage,
-            bloomfilters,
-            config["m"],
-            config["h"],
-            config.get("low_mem_build", False),
-            layout=config.get("layout", "classic"),
-        )
+        with phase("build.metadata"):
+            SampleMetadata(storage.kv).add_samples(samples)
+        with device_trace("build.index", config):
+            KmerSignatureIndex.create(
+                storage,
+                bloomfilters,
+                config["m"],
+                config["h"],
+                config.get("low_mem_build", False),
+                layout=config.get("layout", "classic"),
+            )
         storage.close()
+        metrics.incr("build.samples", len(samples))
         return cls(config, engine_factory=engine_factory)
 
     # -- queries ------------------------------------------------------
@@ -147,7 +149,10 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         assert threshold <= 1
         kmer_mat = seq_to_kmer_matrix(seq, self.kmer_size)
         uniq, inverse = unique_rows_with_inverse(kmer_mat)
-        packed = self.lookup_packed(uniq)  # [K, W] over distinct kmers
+        with phase("search.lookup"):
+            packed = self.lookup_packed(uniq)  # [K, W] over distinct kmers
+        metrics.incr("search.queries")
+        metrics.incr("search.kmers", int(uniq.shape[0]))
         num_kmers = uniq.shape[0]
         if num_kmers == 0:
             # Queries shorter than k have no k-mers; the reference
@@ -204,7 +209,10 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         for i, (row_idx, nk) in enumerate(per_query):
             idx[i, :nk] = row_idx
             mask[i, :nk] = True
-        counts = self._counts_batch(idx, mask)
+        with phase("search.batch_counts"):
+            counts = self._counts_batch(idx, mask)
+        metrics.incr("search.queries", b)
+        metrics.incr("search.kmers", int(mask.sum()))
         out = []
         for i, (_, num_kmers) in enumerate(per_query):
             if num_kmers == 0:

@@ -104,7 +104,9 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(json.dumps({"error": str(exc)}), status=status)
 
     def do_GET(self):
-        self._dispatch({"/search", "/bulk_search", "/variant_search", "/"})
+        self._dispatch(
+            {"/search", "/bulk_search", "/variant_search", "/", "/metrics"}
+        )
 
     def do_POST(self):
         self._dispatch(
@@ -130,6 +132,7 @@ class _Handler(BaseHTTPRequestHandler):
             params = self._params()
             handler = {
                 "/": self._handle_root,
+                "/metrics": self._handle_metrics,
                 "/search": self._handle_search,
                 "/bulk_search": self._handle_bulk_search,
                 "/variant_search": self._handle_variant_search,
@@ -156,10 +159,22 @@ class _Handler(BaseHTTPRequestHandler):
             json.dumps(
                 {
                     "service": "bigsi-tpu",
-                    "routes": ["/search", "/bulk_search", "/variant_search", "/insert", "/merge"],
+                    "routes": [
+                        "/search",
+                        "/bulk_search",
+                        "/variant_search",
+                        "/insert",
+                        "/merge",
+                        "/metrics",
+                    ],
                 }
             )
         )
+
+    def _handle_metrics(self, params):
+        from bigsi_tpu.utils.profiling import metrics
+
+        self._reply(json.dumps(metrics.snapshot(), indent=4))
 
     def _handle_search(self, params):
         from bigsi_tpu.__main__ import d_to_csv

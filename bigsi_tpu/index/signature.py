@@ -84,12 +84,14 @@ class KmerSignatureIndex:
         storage.kv.set_integer(BLOOMFILTER_SIZE_KEY, bloomfilter_size)
         storage.kv.set_integer(NUM_HASH_FUNCTS_KEY, num_hashes)
         storage.kv.set_string(LAYOUT_KEY, layout)
-        logger.debug("Transpose bitarrays")
-        words = transpose_blooms(bloomfilters, bloomfilter_size)
+        from bigsi_tpu.utils.profiling import phase
+
+        with phase("build.transpose"):
+            words = transpose_blooms(bloomfilters, bloomfilter_size)
         matrix = BitSliceMatrix(words, num_cols=len(bloomfilters))
-        logger.debug("Persist matrix")
-        storage.save_matrix(matrix)
-        storage.sync()
+        with phase("build.persist"):
+            storage.save_matrix(matrix)
+            storage.sync()
         return cls(storage)
 
     # -- hashing ------------------------------------------------------
