@@ -264,9 +264,19 @@ class DeviceEngine:
     def _use_fused(self) -> bool:
         """Fused Pallas path: minimizer layout, exactly 32 words per
         bitslice row (1024-sample shard), on a real accelerator (the
-        interpret-mode fallback is far slower than blocked XLA)."""
+        interpret-mode fallback is far slower than blocked XLA).
+
+        OPT-IN via BIGSI_TPU_FUSED_KERNEL=1: the kernel is correct in
+        interpret mode but has been observed to hang the chip through
+        this environment's relay (a hung Pallas program wedges the whole
+        device); the blocked XLA path is the safe default until the
+        kernel is proven on the target hardware.
+        """
+        import os
+
         return (
-            self.layout == "minimizer"
+            os.environ.get("BIGSI_TPU_FUSED_KERNEL") == "1"
+            and self.layout == "minimizer"
             and self.words.shape[1] == 32 * 32
             and self.device.platform != "cpu"
         )
