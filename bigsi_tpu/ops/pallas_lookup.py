@@ -120,28 +120,25 @@ def _kernel(nu_ref, utile_ref, uslot_ref, smask_ref, slotidx_ref,
     cc = pl.program_id(1)
     kc = pl.num_programs(1)
     g = b * kc + cc
-    nchunks = pl.num_programs(0) * kc
 
-    def issue(chunk_idx):
-        def body(j, _):
-            t = utile_ref[chunk_idx * CHUNK + j]
-            s = uslot_ref[chunk_idx * CHUNK + j]
-            pltpu.make_async_copy(
-                tiles_hbm.at[pl.ds(t * SUBLANES, SUBLANES), :],
-                scratch.at[s],
-                sems.at[s],
-            ).start()
-            return 0
+    # Burst-issue ALL of this chunk's distinct-tile DMAs, then wait and
+    # consume — issue and wait stay within ONE grid step (the pattern
+    # the Mosaic pipeline model guarantees; an earlier revision issued
+    # chunk g+1's DMAs from step g and hung real chips: cross-step
+    # in-flight DMAs are not ordered with grid-step revisiting).  Later
+    # DMAs of the burst still overlap the wait/consume of earlier ones;
+    # only the first tile's HBM latency is exposed per 64-kmer chunk.
+    def issue_body(j, _):
+        t = utile_ref[g * CHUNK + j]
+        s = uslot_ref[g * CHUNK + j]
+        pltpu.make_async_copy(
+            tiles_hbm.at[pl.ds(t * SUBLANES, SUBLANES), :],
+            scratch.at[s],
+            sems.at[s],
+        ).start()
+        return 0
 
-        jax.lax.fori_loop(0, nu_ref[chunk_idx], body, 0)
-
-    @pl.when(g == 0)
-    def _():
-        issue(0)
-
-    @pl.when(g + 1 < nchunks)
-    def _():
-        issue(g + 1)
+    jax.lax.fori_loop(0, nu_ref[g], issue_body, 0)
 
     @pl.when(cc == 0)
     def _():
@@ -249,6 +246,12 @@ def fused_query(tiles_fat, n_unique, utile, uslot, smask, slotidx, *, b, k):
         out_shape=(
             jax.ShapeDtypeStruct((b, SUBLANES, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((b, 1, LANES), jnp.uint32),
+        ),
+        # grid steps carry cross-step state (output accumulation and
+        # manual DMA semaphores): force strictly sequential execution
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            has_side_effects=True,
         ),
         interpret=interpret,
     )(n_unique, utile, uslot, smask, slotidx, tiles_fat)
