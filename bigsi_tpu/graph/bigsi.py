@@ -354,4 +354,12 @@ def _resolve_engine_factory(config, engine_factory):
         from bigsi_tpu.index.device_engine import DeviceEngine
 
         return DeviceEngine
+    if engine == "mesh":
+        from bigsi_tpu.parallel.sharding import MeshEngine, make_mesh
+
+        axes = config.get("mesh")  # optional (d, k, s) axis sizes
+        if axes:
+            mesh = make_mesh(axis_sizes=tuple(axes))
+            return lambda matrix: MeshEngine(matrix, mesh=mesh)
+        return MeshEngine
     raise ValueError("unknown engine %r" % engine)

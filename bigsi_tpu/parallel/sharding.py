@@ -197,6 +197,26 @@ class MeshEngine:
             np.asarray(exact)[:b],
         )
 
+    def counts_batch(
+        self, row_idx: np.ndarray, mask: np.ndarray, num_cols: int
+    ) -> np.ndarray:
+        """Batched per-query hit counts over the mesh in one dispatch.
+
+        row_idx int [B, K, h], mask bool [B, K] -> int64 [B, num_cols].
+        Same contract as ``DeviceEngine.counts_batch`` — this is what
+        ``BIGSI.search_batch`` calls when the index is mesh-sharded.
+        """
+        b, k, h = row_idx.shape
+        if b == 0 or k == 0:
+            return np.zeros((b, num_cols), dtype=np.int64)
+        bb, kk = self._pad_sizes(b, k)
+        idx = np.zeros((bb, kk, h), dtype=np.int32)
+        idx[:b, :k] = row_idx
+        mfull = np.zeros((bb, kk), dtype=bool)
+        mfull[:b, :k] = mask
+        counts, _ = self._step(h)(self.words, idx, mfull)
+        return np.asarray(counts)[:b, :num_cols].astype(np.int64)
+
     # -- HostEngine-compatible single-query surface --------------------
 
     def and_rows(self, row_idx: np.ndarray):

@@ -89,3 +89,46 @@ def test_mesh_engine_batch():
     for i, q in enumerate(queries):
         hp = host.and_rows(q)
         assert np.array_equal(counts[i, :256], host.counts(hp, 256))
+
+
+def test_mesh_engine_counts_batch_parity():
+    rng = np.random.default_rng(11)
+    m, n, h = 500, 900, 3
+    mat = random_matrix(rng, m, n)
+    host = HostEngine(mat)
+    eng = MeshEngine(mat, mesh=make_mesh(8, (2, 2, 2)))
+    B, K = 5, 70  # ragged: engine pads to mesh-divisible buckets
+    idx = rng.integers(0, m, size=(B, K, h)).astype(np.int32)
+    mask = rng.random((B, K)) < 0.85
+    got = eng.counts_batch(idx, mask, n)
+    want = host.counts_batch(idx, mask, n)
+    assert np.array_equal(got, want)
+
+
+def test_search_batch_on_mesh_engine():
+    """engine=mesh end-to-end: search_batch == per-query search."""
+    import random
+
+    from bigsi_tpu import BIGSI
+    from bigsi_tpu.storage import get_storage
+
+    cfg = {
+        "storage-engine": "memory",
+        "storage-config": {"filename": "mesh-sb"},
+        "k": 9,
+        "m": 2048,
+        "h": 3,
+        "engine": "mesh",
+        "mesh": [2, 2, 2],
+    }
+    get_storage(cfg).delete_all()
+    rng = random.Random(13)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(50)) for _ in range(3)]
+    blooms = [
+        BIGSI.bloom(cfg, [s[i : i + 9] for i in range(len(s) - 8)]) for s in seqs
+    ]
+    bigsi = BIGSI.build(cfg, blooms, ["s0", "s1", "s2"])
+    queries = [seqs[0], seqs[1][:30], seqs[2]]
+    assert bigsi.search_batch(queries, 0.5) == [
+        bigsi.search(q, 0.5) for q in queries
+    ]
