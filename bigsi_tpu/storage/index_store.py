@@ -138,6 +138,33 @@ class IndexStore(BaseIndexStore):
         )
         self.sync()
 
+    def adopt_rows(self, num_rows: int, num_words: int, num_cols: int) -> None:
+        """Register an externally written ``rows.bin`` (bulk-build path).
+
+        Large builds stream packed rows straight into ``rows.bin``
+        (uint32 little-endian row-major, the documented layout) instead
+        of materializing the matrix in RAM for :meth:`save_matrix`.
+        """
+        expected = num_rows * num_words * 4
+        actual = os.path.getsize(self._rows_path())
+        if actual != expected:
+            raise ValueError(
+                "rows.bin is %d bytes, expected %d (%d x %d uint32)"
+                % (actual, expected, num_rows, num_words)
+            )
+        if self._manifest is None:
+            self._manifest = {"format_version": FORMAT_VERSION}
+        self._manifest.update(
+            {
+                "num_rows": num_rows,
+                "num_words": num_words,
+                "num_cols": num_cols,
+                "dtype": "uint32",
+                "layout": "lsb32-le",
+            }
+        )
+        self.sync()
+
     def sync(self) -> None:
         if self._manifest is None:
             self._manifest = {"format_version": FORMAT_VERSION}

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Scaling-efficiency report: batched query throughput vs mesh size.
+
+Runs the shard_map'd batched query step over meshes of 1, 2, 4, ... N
+devices (sample-sharded by default) against one synthetic matrix and
+reports queries/s plus efficiency vs linear scaling from 1 device.
+
+On the CPU backend (default under tests) this validates the sharding
+machinery end to end with 8 virtual devices; on real multi-chip
+hardware the same script is the BASELINE scaling-efficiency
+measurement (target >= 0.8 at 2+ hosts).
+
+  python scripts/scaling_report.py [--m 500000] [--samples 8192]
+      [--batch 32] [--kmers 256] [--axis s|d|k] [--steps 5]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=500_000)
+    ap.add_argument("--samples", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--kmers", type=int, default=256)
+    ap.add_argument("--h", type=int, default=3)
+    ap.add_argument("--axis", default="s", choices=["s", "d", "k"],
+                    help="which mesh axis absorbs the devices")
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend with 8 virtual devices")
+    args = ap.parse_args()
+
+    if args.cpu or not os.environ.get("BIGSI_TPU_REAL_DEVICE"):
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    from bigsi_tpu.parallel.sharding import make_mesh, make_sharded_query_step, shard_matrix
+
+    ndev = len(jax.devices())
+    rng = np.random.default_rng(0)
+    w = args.samples // 32
+    words = rng.integers(0, 2 ** 32, size=(args.m, w), dtype=np.uint32)
+    idx = rng.integers(0, args.m, size=(args.batch, args.kmers, args.h)).astype(np.int32)
+    mask = np.ones((args.batch, args.kmers), dtype=bool)
+
+    sizes = []
+    n = 1
+    while n <= ndev:
+        sizes.append(n)
+        n *= 2
+
+    rows = []
+    base_qps = None
+    for n in sizes:
+        axes = {"s": (1, 1, n), "d": (n, 1, 1), "k": (1, n, 1)}[args.axis]
+        mesh = make_mesh(n, axes, devices=jax.devices()[:n])
+        step = make_sharded_query_step(mesh, args.h)
+        w_sharded = shard_matrix(words, mesh)
+        counts, exact = step(w_sharded, idx, mask)  # compile + warm
+        np.asarray(counts)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            counts, exact = step(w_sharded, idx, mask)
+        np.asarray(counts)[0, 0]
+        dt = (time.perf_counter() - t0) / args.steps
+        qps = args.batch / dt
+        if base_qps is None:
+            base_qps = qps
+        eff = qps / (base_qps * n)
+        rows.append({"devices": n, "axis": args.axis,
+                     "ms_per_batch": round(dt * 1e3, 2),
+                     "queries_per_s": round(qps, 1),
+                     "efficiency_vs_linear": round(eff, 3)})
+        print("devices=%d  %.2f ms/batch  %.0f q/s  eff=%.2f"
+              % (n, dt * 1e3, qps, eff), file=sys.stderr)
+
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()
