@@ -130,6 +130,29 @@ def blocked_counts(tiles, tile_idx, slot_mask, mask):
     return bits.sum(axis=1).reshape(b, -1)
 
 
+def make_full_query_step(m: int, h: int):
+    """ONE-program serving step: raw ASCII k-mers in, hit counts out.
+
+    step(words, kmers, mask) with words uint32[m, W], kmers
+    uint8[B, K, klen], mask bool[B, K] -> counts int32[B, W*32].
+
+    Everything runs on device — canonicalization, murmur3 hashing, row
+    gather, AND over h, masked unpack-sum — so the host's only job is
+    padding the query batch (SURVEY §5.8's small-dispatch design).
+    Classic layout.
+    """
+    from bigsi_tpu.ops.hash_jax import canonicalize_jax, row_indices_jax
+
+    @jax.jit
+    def step(words, kmers, mask):
+        b, k, klen = kmers.shape
+        canon = canonicalize_jax(kmers.reshape(b * k, klen))
+        idx = row_indices_jax(canon, h, m).reshape(b, k, h)
+        return batched_counts_jnp(words, idx, mask)
+
+    return step
+
+
 def best_query_step(m: int, b: int, k: int, h: int):
     """Currently-best jitted batched step for the bench/serving loop.
 

@@ -126,3 +126,35 @@ def test_blocked_engine_parity(m, n, K, h, seed):
     assert np.array_equal(dev.exact_colours(dp), host.exact_colours(hp))
     assert np.array_equal(dev.counts(dp, n), host.counts(hp, n))
     assert np.array_equal(dev.presence_matrix(dp, n), host.presence_matrix(hp, n))
+
+
+def test_full_query_step_matches_host_pipeline():
+    """One-program step (canonicalize+hash+gather+count on device) ==
+    host hashing + host engine counts."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
+    from bigsi_tpu.index.host_engine import HostEngine
+    from bigsi_tpu.kmers import canonicalize_kmer_matrix
+    from bigsi_tpu.matrix.bitmatrix import BitSliceMatrix
+    from bigsi_tpu.ops.lookup import make_full_query_step
+
+    rng = np.random.default_rng(0)
+    m, n, h, klen = 4096, 256, 3, 9
+    blooms = [rng.random(m) < 0.3 for _ in range(n)]
+    mat = BitSliceMatrix.create(blooms, m, n)
+    host = HostEngine(mat)
+
+    B, K = 3, 16
+    kmers = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(B, K, klen))
+    mask = rng.random((B, K)) < 0.9
+
+    step = make_full_query_step(m, h)
+    counts = np.asarray(step(jnp.asarray(mat.words), jnp.asarray(kmers), jnp.asarray(mask)))
+
+    for i in range(B):
+        canon = canonicalize_kmer_matrix(kmers[i][mask[i]])
+        idx = hash_kmer_matrix(canon, h, m)
+        want = host.counts(host.and_rows(idx), n)
+        assert np.array_equal(counts[i, :n], want), i

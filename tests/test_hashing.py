@@ -50,3 +50,38 @@ def test_various_lengths_match_scalar():
         out = murmur3_32_batch(mat, np.array([0, 1, 99], dtype=np.uint32))
         for j, seed in enumerate([0, 1, 99]):
             assert out[0, j] == murmur3_32(s, seed)
+
+
+def test_murmur3_jax_matches_numpy_and_goldens():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bigsi_tpu.hashing.murmur3 import murmur3_32_batch
+    from bigsi_tpu.ops.hash_jax import murmur3_32_jax, row_indices_jax
+
+    # golden: generate_hashes("ATT", 3, 25) == {2, 15, 17}
+    att = np.frombuffer(b"ATT", dtype=np.uint8)[None, :]
+    rows = np.asarray(row_indices_jax(jnp.asarray(att), 3, 25))
+    assert set(rows[0].tolist()) == {2, 15, 17}
+
+    rng = np.random.default_rng(0)
+    for k in (3, 4, 7, 8, 31, 32):
+        mats = rng.integers(65, 85, size=(16, k), dtype=np.uint8)
+        seeds = np.arange(5, dtype=np.uint32)
+        want = murmur3_32_batch(mats, seeds)
+        got = np.asarray(murmur3_32_jax(jnp.asarray(mats), jnp.asarray(seeds)))
+        assert np.array_equal(got, want), k
+
+
+def test_row_indices_jax_matches_host():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
+    from bigsi_tpu.ops.hash_jax import row_indices_jax
+
+    rng = np.random.default_rng(1)
+    mats = rng.integers(65, 85, size=(64, 31), dtype=np.uint8)
+    want = hash_kmer_matrix(mats, 3, 25_000_000)
+    got = np.asarray(row_indices_jax(jnp.asarray(mats), 3, 25_000_000))
+    assert np.array_equal(got.astype(np.int64), want)
