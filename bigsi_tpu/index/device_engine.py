@@ -50,12 +50,13 @@ def _and_rows_fat(fat, row_idx, g, w):
 def _counts_batch_fat(fat, row_idx, mask, g, w):
     """Classic layout, batched: row_idx int32[B, K, h], mask bool[B, K]
     -> counts int32[B, w*32].  One fused gather/AND/unpack-sum program."""
+    from bigsi_tpu.ops.lookup import csa_counts
+
     b, k, h = row_idx.shape
     packed = _and_rows_fat.__wrapped__(fat, row_idx.reshape(b * k, h), g, w)
     packed = packed.reshape(b, k, w)
-    bits = (packed[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
-    bits = bits.astype(jnp.int32) * mask[:, :, None, None].astype(jnp.int32)
-    return bits.sum(axis=1).reshape(b, -1)
+    masked = jnp.where(mask[:, :, None], packed, jnp.uint32(0))
+    return csa_counts(masked, axis=1)
 
 
 @jax.jit
@@ -63,6 +64,13 @@ def _counts_batch_blocked(tiles, tile_idx, slot_mask, mask):
     from bigsi_tpu.ops.lookup import blocked_counts
 
     return blocked_counts(tiles, tile_idx, slot_mask, mask)
+
+
+@jax.jit
+def _counts_batch_grouped(tiles, utile, gmask):
+    from bigsi_tpu.ops.lookup import grouped_counts
+
+    return grouped_counts(tiles, utile, gmask)
 
 
 @jax.jit
@@ -239,6 +247,18 @@ class DeviceEngine:
                     self.words.reshape(-1, 128), tile, sm
                 )
                 return counts[:, :num_cols]
+            if self.layout == "minimizer":
+                # consecutive k-mers share tiles: gather each distinct
+                # tile once (~6x fewer issue-bound fetches)
+                from bigsi_tpu.ops.lookup import build_grouped_streams
+
+                utile, gmask = build_grouped_streams(tile, sm)
+                counts = _counts_batch_grouped(
+                    self.words,
+                    jax.device_put(utile, self.device),
+                    jax.device_put(gmask, self.device),
+                )
+                return np.asarray(counts)[:, :num_cols].astype(np.int64)
             mfull = np.zeros((b, kb), dtype=bool)
             mfull[:, :k] = mask
             counts = _counts_batch_blocked(

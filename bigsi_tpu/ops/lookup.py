@@ -82,9 +82,8 @@ def batched_counts_jnp(matrix, row_idx, mask):
     -> counts int32[B, W*32]."""
     b, k, h = row_idx.shape
     packed = and_rows_jnp(matrix, row_idx.reshape(b * k, h)).reshape(b, k, -1)
-    bits = (packed[..., None] >> _bit_shifts()) & jnp.uint32(1)
-    bits = bits.astype(jnp.int32) * mask[:, :, None, None].astype(jnp.int32)
-    return bits.sum(axis=1).reshape(b, -1)
+    masked = jnp.where(mask[:, :, None], packed, jnp.uint32(0))
+    return csa_counts(masked, axis=1)
 
 
 TILE_ROWS = 32
@@ -125,9 +124,142 @@ def blocked_counts(tiles, tile_idx, slot_mask, mask):
     packed = blocked_presence(
         tiles, tile_idx.reshape(-1), slot_mask.reshape(-1)
     ).reshape(b, k, -1)
-    bits = (packed[..., None] >> _bit_shifts()) & jnp.uint32(1)
-    bits = bits.astype(jnp.int32) * mask[:, :, None, None].astype(jnp.int32)
-    return bits.sum(axis=1).reshape(b, -1)
+    masked = jnp.where(mask[:, :, None], packed, jnp.uint32(0))
+    return csa_counts(masked, axis=1)
+
+
+def _add_planes(a: list, b: list) -> list:
+    """Bitwise bignum add of two bit-sliced counts (lists of uint32
+    planes, LSB first).  Plane arithmetic: full adder per bit position.
+    """
+    out = []
+    carry = None
+    for i in range(max(len(a), len(b))):
+        x = a[i] if i < len(a) else None
+        y = b[i] if i < len(b) else None
+        terms = [t for t in (x, y, carry) if t is not None]
+        if len(terms) == 1:
+            out.append(terms[0])
+            carry = None
+        elif len(terms) == 2:
+            out.append(terms[0] ^ terms[1])
+            carry = terms[0] & terms[1]
+        else:
+            s = terms[0] ^ terms[1]
+            out.append(s ^ terms[2])
+            carry = (terms[0] & terms[1]) | (s & terms[2])
+    if carry is not None:
+        out.append(carry)
+    return out
+
+
+def csa_counts(rows: jax.Array, axis: int = -2) -> jax.Array:
+    """Per-sample-bit popcount over an axis of packed rows, WITHOUT the
+    32x unpack: int32[..., W*32].
+
+    Reduces ``uint32[..., K, W]`` along ``K`` with a carry-save adder
+    tree in bit-sliced form (each partial sum is a list of uint32
+    planes), then unpacks only the ~log2(K) result planes.  ~10x less
+    VPU work than the unpack-then-sum formulation of the reference's
+    ``unpack_and_sum`` (``bigsi/graph/bigsi.py:35-44``).
+
+    Masking: zero out masked rows BEFORE calling (a zero row adds 0).
+    """
+    rows = jnp.moveaxis(rows, axis, -2)
+    # level-wise vectorized tree: planes[i] is uint32[..., K_cur, W];
+    # each level halves K_cur by adding even/odd row pairs in one op
+    planes = [rows]
+    while planes[0].shape[-2] > 1:
+        kc = planes[0].shape[-2]
+        if kc % 2:
+            pad = [(0, 0)] * planes[0].ndim
+            pad[-2] = (0, 1)
+            planes = [jnp.pad(p, pad) for p in planes]
+        a = [p[..., 0::2, :] for p in planes]
+        b = [p[..., 1::2, :] for p in planes]
+        planes = _add_planes(a, b)
+    planes = [p[..., 0, :] for p in planes]
+    shifts = _bit_shifts()
+    total = None
+    for i, p in enumerate(planes):
+        bits = ((p[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int32)
+        term = bits << i
+        total = term if total is None else total + term
+    return total.reshape(*total.shape[:-2], total.shape[-2] * 32)
+
+
+GROUP_R = 8  # k-mers per distinct tile in the grouped layout (runs ~6)
+
+
+def build_grouped_streams(tile, smask, r: int = GROUP_R, u_bucket: int = 16):
+    """Host prep for the grouped (tile-deduplicated) XLA query path.
+
+    tile int32[B, K] (tile id per k-mer), smask uint32[B, K] (0 = pad)
+    -> (utile int32[B, U], gmask uint32[B, U, r]) where each distinct
+    consecutive tile run becomes one ``utile`` entry and its k-mers'
+    slot masks fill the run's ``gmask`` row (runs longer than ``r``
+    spill into a fresh entry with the same tile id).  U is the max
+    spilled-run count over the batch, rounded up to ``u_bucket``.
+
+    With the minimizer layout (~6 consecutive k-mers share a tile) this
+    cuts the issue-rate-bound device gather ~6x; the expansion back to
+    per-kmer presence happens as dense masked-AND VPU work.
+    """
+    import numpy as np
+
+    b, k = tile.shape
+    valid = smask != 0
+    tt = np.where(valid, tile, -1)
+    new = np.ones((b, k), dtype=bool)
+    new[:, 1:] = tt[:, 1:] != tt[:, :-1]
+    new &= valid
+    # spill runs longer than r: position within run
+    run_id = np.cumsum(new, axis=1) - 1  # per-query run index (valid only)
+    # position within run: index - first index of run
+    idx = np.arange(k)[None, :]
+    first_of_run = np.zeros((b, k), dtype=np.int64)
+    np.maximum.accumulate(np.where(new, idx, 0), axis=1, out=first_of_run)
+    pos = idx - first_of_run
+    group = run_id * 0  # placeholder, computed below
+    # entry index = run_id offset by spills: each run contributes
+    # ceil(run_len/r) entries; entry = base[run] + pos // r.  Compute
+    # base via cumsum of per-run spill counts — vectorized per query.
+    spill = pos // r  # which spill segment within the run
+    # new_entry marks k-mers that OPEN an entry (run start or spill point)
+    new_entry = new | (valid & (pos % r == 0))
+    entry = np.cumsum(new_entry, axis=1) - 1
+    entry = np.where(valid, entry, 0)
+    slot_in_entry = pos % r
+    u_max = int(new_entry.sum(axis=1).max()) if k else 0
+    u = max(u_bucket, ((u_max + u_bucket - 1) // u_bucket) * u_bucket)
+    utile = np.zeros((b, u), dtype=np.int32)
+    gmask = np.zeros((b, u, r), dtype=np.uint32)
+    bi, ki = np.nonzero(new_entry)
+    utile[bi, entry[bi, ki]] = tile[bi, ki]
+    vi = np.nonzero(valid)
+    gmask[vi[0], entry[vi], slot_in_entry[vi]] = smask[vi]
+    return utile, gmask
+
+
+def grouped_counts(tiles: jax.Array, utile: jax.Array, gmask: jax.Array):
+    """Grouped-layout batched hit counts (one gather per DISTINCT tile).
+
+    tiles uint32[T, TILE_ROWS*W], utile int32[B, U],
+    gmask uint32[B, U, R] -> counts int32[B, W*32].
+    """
+    b, u = utile.shape
+    r = gmask.shape[2]
+    w = tiles.shape[1] // TILE_ROWS
+    g = jnp.take(tiles, utile.reshape(-1), axis=0).reshape(b, u, TILE_ROWS, w)
+    rowbit = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 1, TILE_ROWS, 1), 3)
+    sel = ((gmask[:, :, :, None, None] >> rowbit) & jnp.uint32(1)).astype(bool)
+    masked = jnp.where(sel, g[:, :, None, :, :], jnp.uint32(0xFFFFFFFF))
+    presence = jax.lax.reduce(
+        masked, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, (3,)
+    )  # [B, U, R, W]
+    valid = (gmask != 0)[..., None]
+    rows = jnp.where(valid, presence, jnp.uint32(0)).reshape(b, u * r, w)
+    return csa_counts(rows, axis=1)
 
 
 def make_full_query_step(m: int, h: int):

@@ -117,10 +117,11 @@ def make_sharded_query_step(mesh: Mesh, h: int):
         packed = and_rows_jnp(words_l, idx_l.reshape(b * kk, h))
         packed = packed.reshape(b, kk, -1)  # [B_l, K_l, W_l]
 
-        # hit counts: unpack + masked sum over local kmers
-        bits = (packed[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
-        bits = bits.astype(jnp.int32) * mask_l[:, :, None, None].astype(jnp.int32)
-        counts_l = bits.sum(axis=1).reshape(b, -1)  # [B_l, W_l*32]
+        # hit counts: masked carry-save popcount over local kmers
+        from bigsi_tpu.ops.lookup import csa_counts
+
+        masked_rows = jnp.where(mask_l[:, :, None], packed, jnp.uint32(0))
+        counts_l = csa_counts(masked_rows, axis=1)  # [B_l, W_l*32]
         counts_l = jax.lax.psum(counts_l, AXIS_KMERS)
         counts = jax.lax.all_gather(
             counts_l, AXIS_SAMPLES, axis=1, tiled=True

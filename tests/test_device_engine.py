@@ -158,3 +158,53 @@ def test_full_query_step_matches_host_pipeline():
         idx = hash_kmer_matrix(canon, h, m)
         want = host.counts(host.and_rows(idx), n)
         assert np.array_equal(counts[i, :n], want), i
+
+
+def test_csa_counts_matches_unpack_sum():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bigsi_tpu.ops.lookup import csa_counts
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 5, 3), (2, 200, 4), (3, 64, 32)]:
+        rows = rng.integers(0, 2 ** 32, size=shape, dtype=np.uint32)
+        got = np.asarray(csa_counts(jnp.asarray(rows), axis=1))
+        bits = np.unpackbits(
+            rows.view(np.uint8).reshape(*shape[:-1], shape[-1] * 4),
+            axis=-1, bitorder="little",
+        )
+        want = bits.sum(axis=1).astype(np.int32)
+        assert np.array_equal(got, want), shape
+
+
+def test_grouped_counts_matches_blocked():
+    """Grouped (tile-deduplicated) path == blocked per-kmer path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bigsi_tpu.ops.lookup import (
+        TILE_ROWS,
+        blocked_counts,
+        build_grouped_streams,
+        grouped_counts,
+    )
+
+    rng = np.random.default_rng(5)
+    T, W, B, K = 23, 4, 3, 40
+    tiles = rng.integers(0, 2 ** 32, size=(T, TILE_ROWS * W), dtype=np.uint32)
+    tile = rng.integers(0, T, size=(B, K)).astype(np.int32)
+    # minimizer-style runs incl. one run longer than GROUP_R
+    tile[:, 1:12] = tile[:, 0:1]
+    tile[:, 20:24] = tile[:, 20:21]
+    slots = rng.integers(0, TILE_ROWS, size=(B, K, 3)).astype(np.uint32)
+    smask = np.bitwise_or.reduce(np.uint32(1) << slots, axis=2)
+    pad = rng.random((B, K)) < 0.2
+    smask[pad] = 0
+
+    utile, gmask = build_grouped_streams(tile, smask)
+    got = np.asarray(grouped_counts(jnp.asarray(tiles), jnp.asarray(utile), jnp.asarray(gmask)))
+    want = np.asarray(
+        blocked_counts(jnp.asarray(tiles), jnp.asarray(tile), jnp.asarray(smask), jnp.asarray(smask != 0))
+    )
+    assert np.array_equal(got, want)
