@@ -5,13 +5,17 @@ Runs the batched inexact-search data plane at BASELINE.json's 1k-sample
 config (m=2.5e7 bloom bits, 1024 samples): per k-mer, fetch its hash
 rows, AND them, and accumulate per-sample hit counts.
 
-Two engine layouts are timed; the headline is the better (blocked):
+Three engine layouts are timed; the headline is the best:
 
 * classic — h independent row fetches per k-mer (reference-parity
   layout), fat-row packed for lane efficiency;
 * blocked — the TPU-native blocked-Bloom layout: the k-mer's h rows
   live in one 32-row tile, fetched with a single fat DMA and reduced
-  with a selection-masked AND (see bigsi_tpu/ops/lookup.py).
+  with a selection-masked AND (see bigsi_tpu/ops/lookup.py);
+* grouped — the minimizer layout's tile-dedup path: consecutive query
+  k-mers share tiles in runs (~6), each distinct tile gathered ONCE,
+  per-kmer presence expanded by dense masked ANDs, counts via the
+  carry-save popcount tree (csa_counts).
 
 Methodology: this environment reaches the chip through a relay with
 ~26 ms overhead per program execution, so steps are chained INSIDE one
@@ -97,6 +101,35 @@ def main():
 
     dt_blocked = marginal(make_blocked)
 
+    # grouped (minimizer) layout: consecutive k-mers share tiles in runs
+    # of ~6; each distinct tile is gathered once per run
+    from bigsi_tpu.ops.lookup import build_grouped_streams, grouped_counts
+
+    RUN = 6
+    nruns = (K + RUN - 1) // RUN
+    run_tiles = rng.integers(0, T, size=(B, nruns)).astype(np.int32)
+    tidx_runs = np.repeat(run_tiles, RUN, axis=1)[:, :K]
+    utile_np, gmask_np = build_grouped_streams(
+        tidx_runs, np.asarray(sm, dtype=np.uint32)
+    )
+    utile = jax.device_put(utile_np, dev)
+    gmask = jax.device_put(gmask_np, dev)
+
+    def make_grouped(nsteps):
+        @jax.jit
+        def f(tiles, utile, gmask):
+            def body(carry, _):
+                u2 = (utile + carry) % T  # shift tiles, dedup structure kept
+                counts = grouped_counts(tiles, u2, gmask)
+                return (counts[0, 0] & jnp.int32(7)) + 1, ()
+
+            carry, _ = jax.lax.scan(body, jnp.int32(0), None, length=nsteps)
+            return carry.reshape(1)
+
+        return f, (tiles, utile, gmask)
+
+    dt_grouped = marginal(make_grouped)
+
     # classic layout (secondary, reported in the stderr detail line)
     words = jax.jit(
         lambda k: jax.random.bits(k, (M, W), jnp.uint32), device=dev
@@ -121,7 +154,7 @@ def main():
     dt_classic = marginal(make_classic)
 
     rows = B * K * H
-    best = min(dt_blocked, dt_classic)
+    best = min(dt_blocked, dt_classic, dt_grouped)
     rows_per_s = rows / best
     print(
         json.dumps(
@@ -134,11 +167,13 @@ def main():
         )
     )
     print(
-        "detail: %s m=%d N=%d B=%d K=%d h=%d | blocked %.3f ms/step "
-        "(%.1f Mrows/s, %.0f queries/s) | classic %.3f ms/step (%.1f Mrows/s)"
+        "detail: %s m=%d N=%d B=%d K=%d h=%d | grouped %.3f ms/step "
+        "(%.1f Mrows/s, %.0f queries/s) | blocked %.3f ms/step "
+        "(%.1f Mrows/s) | classic %.3f ms/step (%.1f Mrows/s)"
         % (
             dev.platform, M, N, B, K, H,
-            dt_blocked * 1e3, rows / dt_blocked / 1e6, B / dt_blocked,
+            dt_grouped * 1e3, rows / dt_grouped / 1e6, B / dt_grouped,
+            dt_blocked * 1e3, rows / dt_blocked / 1e6,
             dt_classic * 1e3, rows / dt_classic / 1e6,
         ),
         file=sys.stderr,
