@@ -151,6 +151,71 @@ def make_sharded_query_step(mesh: Mesh, h: int):
     return jax.jit(step)
 
 
+def shard_tiles(tiles: np.ndarray, mesh: Mesh, tile_rows: int = 32) -> jax.Array:
+    """Place a tile-major matrix uint32[T, tile_rows*W] with the WORD
+    axis sharded over ``s``: reshaped to [T, tile_rows, W] so each
+    device holds its sample-column shard of every tile."""
+    t, fat = tiles.shape
+    w = fat // tile_rows
+    arr = tiles.reshape(t, tile_rows, w)
+    s = mesh.shape[AXIS_SAMPLES]
+    if w % s:
+        target = math.ceil(w / s) * s
+        grown = np.zeros((t, tile_rows, target), dtype=np.uint32)
+        grown[:, :, :w] = arr
+        arr = grown
+    return jax.device_put(arr, NamedSharding(mesh, P(None, None, AXIS_SAMPLES)))
+
+
+def make_sharded_grouped_step(mesh: Mesh):
+    """Multi-chip grouped (minimizer tile-dedup) batched counts.
+
+    step(tiles3, utile, gmask) with tiles3 uint32[T, 32, W] sharded
+    P(None, None, s), utile int32[B, U] / gmask uint32[B, U, R] sharded
+    P(d, None(, None)) -> counts int32[B, W*32] sharded P(d, None).
+
+    Each device gathers each distinct tile's LOCAL sample columns once,
+    expands to per-kmer presence with dense masked ANDs, reduces with
+    the carry-save popcount, and all_gathers counts over ``s``.  The
+    ``k`` axis is unused (grouped streams don't split along k-mers);
+    build meshes as (d, 1, s) for this step.
+    """
+    if mesh.shape[AXIS_KMERS] != 1:
+        raise ValueError("grouped step requires a (d, 1, s) mesh")
+
+    from bigsi_tpu.ops.lookup import csa_counts
+
+    def local_step(tiles_l, utile_l, gmask_l):
+        t, tile_rows, w_l = tiles_l.shape
+        b, u = utile_l.shape
+        r = gmask_l.shape[2]
+        g = jnp.take(tiles_l.reshape(t, tile_rows * w_l), utile_l.reshape(-1), axis=0)
+        g = g.reshape(b, u, tile_rows, w_l)
+        rowbit = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 1, tile_rows, 1), 3)
+        sel = ((gmask_l[:, :, :, None, None] >> rowbit) & jnp.uint32(1)).astype(bool)
+        masked = jnp.where(sel, g[:, :, None, :, :], jnp.uint32(0xFFFFFFFF))
+        presence = jax.lax.reduce(
+            masked, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, (3,)
+        )
+        valid = (gmask_l != 0)[..., None]
+        rows = jnp.where(valid, presence, jnp.uint32(0)).reshape(b, u * r, w_l)
+        counts_l = csa_counts(rows, axis=1)
+        return jax.lax.all_gather(counts_l, AXIS_SAMPLES, axis=1, tiled=True)
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, AXIS_SAMPLES),
+            P(AXIS_BATCH, None),
+            P(AXIS_BATCH, None, None),
+        ),
+        out_specs=P(AXIS_BATCH, None),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 class MeshEngine:
     """Engine with the HostEngine surface, backed by a sharded mesh.
 

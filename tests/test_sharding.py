@@ -132,3 +132,37 @@ def test_search_batch_on_mesh_engine():
     assert bigsi.search_batch(queries, 0.5) == [
         bigsi.search(q, 0.5) for q in queries
     ]
+
+
+def test_sharded_grouped_step_matches_blocked():
+    """Grouped tile-dedup over a (d, 1, s) mesh == single-device blocked."""
+    import jax.numpy as jnp
+
+    from bigsi_tpu.ops.lookup import (
+        TILE_ROWS,
+        blocked_counts,
+        build_grouped_streams,
+    )
+    from bigsi_tpu.parallel.sharding import make_sharded_grouped_step, shard_tiles
+
+    rng = np.random.default_rng(17)
+    T, W, B, K = 19, 8, 4, 30
+    tiles = rng.integers(0, 2 ** 32, size=(T, TILE_ROWS * W), dtype=np.uint32)
+    tile = rng.integers(0, T, size=(B, K)).astype(np.int32)
+    tile[:, 1:9] = tile[:, 0:1]  # minimizer-style runs
+    slots = rng.integers(0, TILE_ROWS, size=(B, K, 3)).astype(np.uint32)
+    smask = np.bitwise_or.reduce(np.uint32(1) << slots, axis=2)
+    smask[rng.random((B, K)) < 0.2] = 0
+
+    utile, gmask = build_grouped_streams(tile, smask)
+    mesh = make_mesh(8, (2, 1, 4))
+    step = make_sharded_grouped_step(mesh)
+    tiles3 = shard_tiles(tiles, mesh)
+    got = np.asarray(step(tiles3, utile, gmask))
+    want = np.asarray(
+        blocked_counts(
+            jnp.asarray(tiles), jnp.asarray(tile), jnp.asarray(smask),
+            jnp.asarray(smask != 0),
+        )
+    )
+    assert np.array_equal(got, want)
