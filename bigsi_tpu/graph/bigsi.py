@@ -360,6 +360,8 @@ def _resolve_engine_factory(config, engine_factory):
         axes = config.get("mesh")  # optional (d, k, s) axis sizes
         if axes:
             mesh = make_mesh(axis_sizes=tuple(axes))
-            return lambda matrix: MeshEngine(matrix, mesh=mesh)
+            return lambda matrix, layout="classic": MeshEngine(
+                matrix, mesh=mesh, layout=layout
+            )
         return MeshEngine
     raise ValueError("unknown engine %r" % engine)

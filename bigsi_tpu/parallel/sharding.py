@@ -224,12 +224,38 @@ class MeshEngine:
     ``MeshEngine(matrix, mesh=...)``.
     """
 
-    def __init__(self, matrix, mesh: Mesh | None = None, h: int | None = None):
+    def __init__(
+        self, matrix, mesh: Mesh | None = None, h: int | None = None,
+        layout: str = "classic",
+    ):
         self.matrix = matrix
         self.mesh = mesh or make_mesh()
+        self.layout = layout
         self.words = shard_matrix(np.asarray(matrix.words), self.mesh)
         self._steps = {}
+        self._grouped_step = None
+        self._tiles3 = None
         self._h = h
+
+    def _grouped(self):
+        """Lazy (d, 1, s) grouped step + tile-major sharded matrix."""
+        if self._grouped_step is None:
+            d, k, s = (
+                self.mesh.shape[AXIS_BATCH],
+                self.mesh.shape[AXIS_KMERS],
+                self.mesh.shape[AXIS_SAMPLES],
+            )
+            mesh = (
+                self.mesh
+                if k == 1
+                else make_mesh(d * k * s, (d * k, 1, s))
+            )
+            from bigsi_tpu.index.device_engine import tile_pack
+
+            tiles = tile_pack(np.asarray(self.matrix.words))
+            self._tiles3 = shard_tiles(tiles, mesh)
+            self._grouped_step = make_sharded_grouped_step(mesh)
+        return self._grouped_step, self._tiles3
 
     def _step(self, h: int):
         if h not in self._steps:
@@ -275,6 +301,25 @@ class MeshEngine:
         b, k, h = row_idx.shape
         if b == 0 or k == 0:
             return np.zeros((b, num_cols), dtype=np.int64)
+        if self.layout == "minimizer":
+            from bigsi_tpu.ops.lookup import TILE_ROWS, build_grouped_streams
+
+            db = self.mesh.shape[AXIS_BATCH]
+            bb = math.ceil(b / db) * db
+            tile = np.zeros((bb, k), dtype=np.int32)
+            tile[:b] = row_idx[:, :, 0] // TILE_ROWS
+            sm = np.zeros((bb, k), dtype=np.uint32)
+            sm[:b] = np.where(
+                mask,
+                np.bitwise_or.reduce(
+                    np.uint32(1) << (row_idx % TILE_ROWS).astype(np.uint32), axis=2
+                ),
+                np.uint32(0),
+            )
+            utile, gmask = build_grouped_streams(tile, sm)
+            step, tiles3 = self._grouped()
+            counts = step(tiles3, utile, gmask)
+            return np.asarray(counts)[:b, :num_cols].astype(np.int64)
         bb, kk = self._pad_sizes(b, k)
         idx = np.zeros((bb, kk, h), dtype=np.int32)
         idx[:b, :k] = row_idx

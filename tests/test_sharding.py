@@ -166,3 +166,36 @@ def test_sharded_grouped_step_matches_blocked():
         )
     )
     assert np.array_equal(got, want)
+
+
+def test_search_batch_on_mesh_engine_minimizer():
+    """engine=mesh + minimizer layout routes through the grouped step."""
+    import random
+
+    from bigsi_tpu import BIGSI
+    from bigsi_tpu.storage import get_storage
+
+    cfg = {
+        "storage-engine": "memory",
+        "storage-config": {"filename": "mesh-min-sb"},
+        "k": 9,
+        "m": 2048,
+        "h": 3,
+        "layout": "minimizer",
+        "engine": "mesh",
+        "mesh": [2, 1, 4],
+    }
+    get_storage(cfg).delete_all()
+    rng = random.Random(23)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(45)) for _ in range(3)]
+    blooms = [
+        BIGSI.bloom(cfg, [s[i : i + 9] for i in range(len(s) - 8)]) for s in seqs
+    ]
+    bigsi = BIGSI.build(cfg, blooms, ["s0", "s1", "s2"])
+    queries = [seqs[0], seqs[1], seqs[2][:25]]
+    assert bigsi.search_batch(queries, 0.5) == [
+        bigsi.search(q, 0.5) for q in queries
+    ]
+    assert bigsi.search_batch(queries, 1.0) == [
+        bigsi.search(q, 1.0) for q in queries
+    ]
