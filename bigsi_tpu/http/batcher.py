@@ -1,0 +1,104 @@
+"""Serving micro-batcher: coalesce concurrent searches into one dispatch.
+
+The reference scales query serving with a multiprocessing pool per bulk
+request (``bigsi/__main__.py:276-283``) and one-off searches hit the
+index individually.  On TPU the economics invert: one batched program
+execution answers hundreds of queries for the price of one dispatch, so
+the HTTP layer funnels concurrent ``/search`` requests through this
+batcher — requests arriving within ``max_wait_ms`` of each other (up to
+``max_batch``) run as a single :meth:`BIGSI.search_batch` call.
+
+Requests are grouped by ``(threshold, score)`` since those change the
+result semantics, not the device program.  ``score=True`` queries pass
+straight through (scoring needs per-kmer presence, a per-query path).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+
+from bigsi_tpu.utils.profiling import metrics
+
+logger = logging.getLogger(__name__)
+
+
+class _Pending:
+    __slots__ = ("seq", "threshold", "event", "result", "error")
+
+    def __init__(self, seq, threshold):
+        self.seq = seq
+        self.threshold = threshold
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class QueryBatcher:
+    def __init__(self, bigsi, max_batch: int = 256, max_wait_ms: float = 3.0):
+        self.bigsi = bigsi
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._closed = False
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def search(self, seq: str, threshold: float = 1.0, score: bool = False):
+        """Blocking search; batched with concurrent callers."""
+        if score or self._closed:
+            return self.bigsi.search(seq, threshold, score)
+        p = _Pending(seq, threshold)
+        self._queue.put(p)
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def close(self):
+        self._closed = True
+        self._queue.put(None)  # wake the worker
+
+    # -- worker ---------------------------------------------------------
+
+    def _worker(self):
+        while not self._closed:
+            p = self._queue.get()
+            if p is None:
+                continue
+            batch = [p]
+            # linger briefly for co-arriving requests
+            deadline = threading.Event()
+            deadline.wait(self.max_wait_s)
+            while len(batch) < self.max_batch:
+                try:
+                    nxt = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is not None:
+                    batch.append(nxt)
+            self._run(batch)
+
+    def _run(self, batch):
+        # group by threshold (score=True never enters the queue)
+        by_t: dict = {}
+        for p in batch:
+            by_t.setdefault(p.threshold, []).append(p)
+        for threshold, group in by_t.items():
+            try:
+                results = self.bigsi.search_batch(
+                    [p.seq for p in group], threshold
+                )
+                for p, r in zip(group, results):
+                    p.result = r
+            except Exception as e:  # noqa: BLE001 — delivered to callers
+                logger.exception("batched search failed")
+                for p in group:
+                    p.error = e
+            finally:
+                for p in group:
+                    p.event.set()
+        if len(batch) > 1:
+            metrics.incr("serve.coalesced_queries", len(batch))
+        metrics.incr("serve.batches")

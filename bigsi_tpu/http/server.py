@@ -51,6 +51,7 @@ class BigsiHTTPServer(ThreadingHTTPServer):
     def __init__(self, addr, config):
         self.config = config
         self._bigsi = None
+        self._batcher = None
         self._lock = threading.Lock()
         super().__init__(addr, _Handler)
 
@@ -61,8 +62,29 @@ class BigsiHTTPServer(ThreadingHTTPServer):
                 self._bigsi = BIGSI(self.config)
             return self._bigsi
 
+    @property
+    def batcher(self):
+        """Micro-batcher coalescing concurrent /search dispatches
+        (config ``serve_batching: false`` disables; ``serve_batch_wait_ms``
+        tunes the linger, default 3)."""
+        if not self.config.get("serve_batching", True):
+            return None
+        bigsi = self.bigsi  # resolve outside the lock (also takes it)
+        with self._lock:
+            if self._batcher is None:
+                from bigsi_tpu.http.batcher import QueryBatcher
+
+                self._batcher = QueryBatcher(
+                    bigsi,
+                    max_wait_ms=float(self.config.get("serve_batch_wait_ms", 3)),
+                )
+            return self._batcher
+
     def invalidate(self):
         with self._lock:
+            if self._batcher is not None:
+                self._batcher.close()
+            self._batcher = None
             self._bigsi = None
 
 
@@ -150,7 +172,11 @@ class _Handler(BaseHTTPRequestHandler):
         return {
             "query": seq,
             "threshold": threshold,
-            "results": bigsi.search(seq, threshold, score),
+            "results": (
+                self.server.batcher.search(seq, threshold, score)
+                if self.server.batcher is not None
+                else bigsi.search(seq, threshold, score)
+            ),
             "citation": CITATION,
         }
 

@@ -1,0 +1,66 @@
+"""Serving micro-batcher: concurrent searches coalesce, results match."""
+
+import random
+import threading
+
+from bigsi_tpu import BIGSI
+from bigsi_tpu.http.batcher import QueryBatcher
+from bigsi_tpu.storage import get_storage
+
+
+def make_bigsi():
+    cfg = {
+        "storage-engine": "memory",
+        "storage-config": {"filename": "batcher-t"},
+        "k": 9,
+        "m": 2048,
+        "h": 3,
+    }
+    get_storage(cfg).delete_all()
+    rng = random.Random(31)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(40)) for _ in range(3)]
+    blooms = [
+        BIGSI.bloom(cfg, [s[i : i + 9] for i in range(len(s) - 8)]) for s in seqs
+    ]
+    return BIGSI.build(cfg, blooms, ["s0", "s1", "s2"]), seqs
+
+
+def test_concurrent_searches_match_sequential():
+    bigsi, seqs = make_bigsi()
+    batcher = QueryBatcher(bigsi, max_wait_ms=20)
+    queries = (seqs * 4)[:10]
+    want = [bigsi.search(q, 0.5) for q in queries]
+    got = [None] * len(queries)
+
+    def call(i):
+        got[i] = batcher.search(queries[i], 0.5)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(len(queries))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    batcher.close()
+    assert got == want
+
+
+def test_score_and_closed_pass_through():
+    bigsi, seqs = make_bigsi()
+    batcher = QueryBatcher(bigsi, max_wait_ms=1)
+    assert batcher.search(seqs[0], 0.5, score=True) == bigsi.search(
+        seqs[0], 0.5, True
+    )
+    batcher.close()
+    assert batcher.search(seqs[1], 1.0) == bigsi.search(seqs[1], 1.0)
+
+
+def test_error_propagates():
+    bigsi, seqs = make_bigsi()
+    batcher = QueryBatcher(bigsi, max_wait_ms=1)
+    try:
+        batcher.search(seqs[0], 2.0)  # threshold > 1 asserts in search_batch
+        raised = False
+    except AssertionError:
+        raised = True
+    batcher.close()
+    assert raised
