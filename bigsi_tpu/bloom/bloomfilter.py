@@ -99,3 +99,49 @@ def load_bloom_file(path: str, m: int | None = None) -> np.ndarray:
     """
     with open(path, "rb") as f:
         return bloom_bytes_to_bools(f.read(), m)
+
+
+class LazyBloomFile:
+    """A ``.bloom`` file as a lazily-unpacked bool sequence.
+
+    Build-scale memory fix: a dense bool bloom costs ``m`` bytes of RAM
+    (25 MB at the default m; 250 GB for a 10k-sample build), but the
+    chunked transpose (``matrix.bitmatrix.transpose_blooms``) only ever
+    reads ``b[r0:r1]`` slices.  This wrapper mmaps the packed bit bytes
+    (``m/8``, OS page cache managed) and unpacks per-slice on demand.
+
+    Duck-compatible with the dense path: ``len``, slice ``__getitem__``,
+    ``__array__`` (full densify when a consumer truly needs it), and a
+    ``bitarray`` property returning itself so ``KmerSignatureIndex.create``
+    passes it through un-coerced.
+    """
+
+    def __init__(self, path: str, m: int | None = None):
+        self._bytes = np.memmap(path, dtype=np.uint8, mode="r")
+        self.m = int(m) if m is not None else len(self._bytes) * 8
+        if self.m > len(self._bytes) * 8:
+            raise ValueError(
+                "%s holds %d bits, config expects m=%d"
+                % (path, len(self._bytes) * 8, self.m)
+            )
+
+    @property
+    def bitarray(self) -> "LazyBloomFile":
+        return self
+
+    def __len__(self) -> int:
+        return self.m
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            start, stop, step = key.indices(self.m)
+            if step != 1:
+                return self.__array__()[key]
+            b0, b1 = start // 8, (stop + 7) // 8
+            bits = np.unpackbits(self._bytes[b0:b1], bitorder="big")
+            return bits[start - b0 * 8 : start - b0 * 8 + (stop - start)].astype(bool)
+        return bool(self.__getitem__(slice(key, key + 1))[0])
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.unpackbits(np.asarray(self._bytes), bitorder="big")[: self.m].astype(bool)
+        return out.astype(dtype) if dtype is not None else out

@@ -16,15 +16,19 @@ import math
 import numpy as np
 
 from bigsi_tpu.bloom import load_bloom_file
+from bigsi_tpu.bloom.bloomfilter import LazyBloomFile
 from bigsi_tpu.graph import BIGSI
 from bigsi_tpu.utils import chunks
 
 logger = logging.getLogger(__name__)
 
 
-def load_bloomfilter(f: str) -> np.ndarray:
+def load_bloomfilter(f: str, m: int | None = None):
+    """mmap-backed lazy bloom: the chunked transpose reads row slices on
+    demand, so peak build memory is bounded by the transpose block, not
+    N dense blooms (see LazyBloomFile)."""
     logger.debug("Loading %s", f)
-    return load_bloom_file(f)
+    return LazyBloomFile(f, m)
 
 
 def get_required_bytes_per_bloomfilter(m: int) -> float:
@@ -73,5 +77,7 @@ def build(config: dict, bloomfilter_filepaths, samples, max_memory=None) -> dict
 
 
 def build_main(config: dict, bloomfilter_filepaths, samples) -> BIGSI:
-    bloomfilters = [load_bloomfilter(f) for f in bloomfilter_filepaths]
+    bloomfilters = [
+        load_bloomfilter(f, config.get("m")) for f in bloomfilter_filepaths
+    ]
     return BIGSI.build(config, bloomfilters, samples)
