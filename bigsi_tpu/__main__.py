@@ -59,13 +59,19 @@ def d_to_csv(d, with_header=True, carriage_return=True):
     return csv_string if carriage_return else csv_string[:-1]
 
 
-def search_bigsi(bigsi, seq, threshold, score):
+def result_dict(seq, threshold, results):
+    """The canonical search-response schema (single source for the CLI,
+    bulk paths, and HTTP server; reference shape at ``__main__.py:66-72``)."""
     return {
         "query": seq,
         "threshold": threshold,
-        "results": bigsi.search(seq, threshold, score),
+        "results": results,
         "citation": CITATION,
     }
+
+
+def search_bigsi(bigsi, seq, threshold, score):
+    return result_dict(seq, threshold, bigsi.search(seq, threshold, score))
 
 
 def _add_config_arg(p):
@@ -202,12 +208,7 @@ def run(args) -> str | None:
         batch = bigsi.search_batch(seqs, args.threshold, args.score)
         out = []
         for i, (seq, results) in enumerate(zip(seqs, batch)):
-            d = {
-                "query": seq,
-                "threshold": args.threshold,
-                "results": results,
-                "citation": CITATION,
-            }
+            d = result_dict(seq, args.threshold, results)
             if args.stream:
                 print(
                     d_to_csv(d, i == 0, False)

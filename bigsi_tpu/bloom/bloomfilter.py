@@ -140,7 +140,12 @@ class LazyBloomFile:
             b0, b1 = start // 8, (stop + 7) // 8
             bits = np.unpackbits(self._bytes[b0:b1], bitorder="big")
             return bits[start - b0 * 8 : start - b0 * 8 + (stop - start)].astype(bool)
-        return bool(self.__getitem__(slice(key, key + 1))[0])
+        i = key.__index__()
+        if i < 0:
+            i += self.m  # ndarray-style wraparound
+        if not 0 <= i < self.m:
+            raise IndexError("bit %d out of range for m=%d" % (key, self.m))
+        return bool(self.__getitem__(slice(i, i + 1))[0])
 
     def __array__(self, dtype=None, copy=None):
         out = np.unpackbits(np.asarray(self._bytes), bitorder="big")[: self.m].astype(bool)

@@ -244,15 +244,9 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         engine = self.engine
         if hasattr(engine, "counts_batch"):
             return engine.counts_batch(idx, mask, self.num_samples)
-        # engines without a batched op: per-query loop
-        counts = np.zeros((idx.shape[0], self.num_samples), dtype=np.int64)
-        for i in range(idx.shape[0]):
-            valid = mask[i]
-            if not valid.any():
-                continue
-            packed = engine.and_rows(idx[i][valid])
-            counts[i] = engine.counts(packed, self.num_samples)
-        return counts
+        from bigsi_tpu.index.host_engine import counts_batch_fallback
+
+        return counts_batch_fallback(engine, idx, mask, self.num_samples)
 
     def __exact_filter(self, packed, num_kmers):
         colours = self.engine.exact_colours(packed)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 
 from bigsi_tpu.utils.profiling import metrics
 
@@ -57,48 +58,66 @@ class QueryBatcher:
         return p.result
 
     def close(self):
+        """Stop the worker.  Every already-queued request is still
+        answered: the worker drains the queue on shutdown, and any
+        straggler that raced past the ``_closed`` check is drained here
+        after the worker exits (callers block on their event, so none
+        may be abandoned)."""
         self._closed = True
         self._queue.put(None)  # wake the worker
+        self._thread.join(timeout=30)
+        self._run(self._drain())
+
+    def _drain(self):
+        batch = []
+        while True:
+            try:
+                nxt = self._queue.get_nowait()
+            except queue.Empty:
+                return batch
+            if nxt is not None:
+                batch.append(nxt)
 
     # -- worker ---------------------------------------------------------
 
     def _worker(self):
-        while not self._closed:
+        while True:
             p = self._queue.get()
             if p is None:
+                if self._closed:
+                    self._run(self._drain())
+                    return
                 continue
             batch = [p]
             # linger briefly for co-arriving requests
-            deadline = threading.Event()
-            deadline.wait(self.max_wait_s)
-            while len(batch) < self.max_batch:
-                try:
-                    nxt = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                if nxt is not None:
-                    batch.append(nxt)
+            time.sleep(self.max_wait_s)
+            batch.extend(self._drain())
             self._run(batch)
 
     def _run(self, batch):
-        # group by threshold (score=True never enters the queue)
+        if not batch:
+            return
+        # group by threshold (score=True never enters the queue);
+        # oversize groups dispatch in max_batch slices
         by_t: dict = {}
         for p in batch:
             by_t.setdefault(p.threshold, []).append(p)
-        for threshold, group in by_t.items():
-            try:
-                results = self.bigsi.search_batch(
-                    [p.seq for p in group], threshold
-                )
-                for p, r in zip(group, results):
-                    p.result = r
-            except Exception as e:  # noqa: BLE001 — delivered to callers
-                logger.exception("batched search failed")
-                for p in group:
-                    p.error = e
-            finally:
-                for p in group:
-                    p.event.set()
+        for threshold, whole in by_t.items():
+            for i in range(0, len(whole), self.max_batch):
+                group = whole[i : i + self.max_batch]
+                try:
+                    results = self.bigsi.search_batch(
+                        [p.seq for p in group], threshold
+                    )
+                    for p, r in zip(group, results):
+                        p.result = r
+                except Exception as e:  # noqa: BLE001 — delivered to callers
+                    logger.exception("batched search failed")
+                    for p in group:
+                        p.error = e
+                finally:
+                    for p in group:
+                        p.event.set()
         if len(batch) > 1:
             metrics.incr("serve.coalesced_queries", len(batch))
         metrics.incr("serve.batches")

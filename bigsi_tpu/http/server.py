@@ -52,7 +52,7 @@ class BigsiHTTPServer(ThreadingHTTPServer):
         self.config = config
         self._bigsi = None
         self._batcher = None
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()  # batcher resolves bigsi under it
         super().__init__(addr, _Handler)
 
     @property
@@ -69,13 +69,15 @@ class BigsiHTTPServer(ThreadingHTTPServer):
         tunes the linger, default 3)."""
         if not self.config.get("serve_batching", True):
             return None
-        bigsi = self.bigsi  # resolve outside the lock (also takes it)
         with self._lock:
             if self._batcher is None:
                 from bigsi_tpu.http.batcher import QueryBatcher
 
+                # resolve bigsi INSIDE the critical section (RLock) so a
+                # concurrent invalidate() can't hand the new batcher a
+                # stale pre-invalidation index
                 self._batcher = QueryBatcher(
-                    bigsi,
+                    self.bigsi,
                     max_wait_ms=float(self.config.get("serve_batch_wait_ms", 3)),
                 )
             return self._batcher
@@ -168,17 +170,15 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(e)
 
     def _search_dict(self, seq, threshold, score):
-        bigsi = self.server.bigsi
-        return {
-            "query": seq,
-            "threshold": threshold,
-            "results": (
-                self.server.batcher.search(seq, threshold, score)
-                if self.server.batcher is not None
-                else bigsi.search(seq, threshold, score)
-            ),
-            "citation": CITATION,
-        }
+        from bigsi_tpu.__main__ import result_dict
+
+        batcher = self.server.batcher
+        results = (
+            batcher.search(seq, threshold, score)
+            if batcher is not None
+            else self.server.bigsi.search(seq, threshold, score)
+        )
+        return result_dict(seq, threshold, results)
 
     def _handle_root(self, params):
         self._reply(
@@ -221,15 +221,12 @@ class _Handler(BaseHTTPRequestHandler):
         fasta = read_fasta(params["fasta"])
         threshold = float(params.get("threshold", 1.0))
         score = _bool(params.get("score"))
+        from bigsi_tpu.__main__ import result_dict
+
         seqs = [str(seq) for seq in fasta.values()]
         batch = self.server.bigsi.search_batch(seqs, threshold, score)
         dd = [
-            {
-                "query": seq,
-                "threshold": threshold,
-                "results": results,
-                "citation": CITATION,
-            }
+            result_dict(seq, threshold, results)
             for seq, results in zip(seqs, batch)
         ]
         if params.get("format") == "csv":

@@ -229,6 +229,18 @@ class DeviceEngine:
         if b == 0 or k == 0:
             return np.zeros((b, num_cols), dtype=np.int64)
         kb = bucket_size(k)
+        # pow2 batch bucket too: serving batches vary per linger window
+        # and each distinct (b, k) shape is a fresh XLA compile
+        bb = 8
+        while bb < b:
+            bb *= 2
+        orig_b, b = b, bb
+        grown = np.zeros((bb, k, h), dtype=row_idx.dtype)
+        grown[:orig_b] = row_idx
+        row_idx = grown
+        mgrown = np.zeros((bb, k), dtype=bool)
+        mgrown[:orig_b] = mask
+        mask = mgrown
         if self.layout in ("blocked", "minimizer"):
             tile = np.zeros((b, kb), dtype=np.int32)
             tile[:, :k] = row_idx[:, :, 0] // TILE_ROWS
@@ -246,7 +258,7 @@ class DeviceEngine:
                 counts, _ = query_counts_exact(
                     self.words.reshape(-1, 128), tile, sm
                 )
-                return counts[:, :num_cols]
+                return counts[:orig_b, :num_cols]
             if self.layout == "minimizer":
                 # consecutive k-mers share tiles: gather each distinct
                 # tile once (~6x fewer issue-bound fetches)
@@ -258,7 +270,7 @@ class DeviceEngine:
                     jax.device_put(utile, self.device),
                     jax.device_put(gmask, self.device),
                 )
-                return np.asarray(counts)[:, :num_cols].astype(np.int64)
+                return np.asarray(counts)[:orig_b, :num_cols].astype(np.int64)
             mfull = np.zeros((b, kb), dtype=bool)
             mfull[:, :k] = mask
             counts = _counts_batch_blocked(
@@ -267,7 +279,7 @@ class DeviceEngine:
                 jax.device_put(sm, self.device),
                 jax.device_put(mfull, self.device),
             )
-            return np.asarray(counts)[:, :num_cols].astype(np.int64)
+            return np.asarray(counts)[:orig_b, :num_cols].astype(np.int64)
         idx = np.zeros((b, kb, h), dtype=np.int32)
         idx[:, :k] = row_idx
         mfull = np.zeros((b, kb), dtype=bool)
@@ -279,7 +291,7 @@ class DeviceEngine:
             self.g,
             self.w,
         )
-        return np.asarray(counts)[:, :num_cols].astype(np.int64)
+        return np.asarray(counts)[:orig_b, :num_cols].astype(np.int64)
 
     def _use_fused(self) -> bool:
         """Fused Pallas path: minimizer layout, exactly 32 words per

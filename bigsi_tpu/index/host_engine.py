@@ -61,12 +61,18 @@ class HostEngine:
         -> int64 [B, num_cols].  Oracle for the device engines'
         single-dispatch batched path (``DeviceEngine.counts_batch``).
         """
-        b = row_idx.shape[0]
-        out = np.zeros((b, num_cols), dtype=np.int64)
-        for i in range(b):
-            valid = mask[i]
-            if not valid.any():
-                continue
-            packed = self.and_rows(row_idx[i][valid])
-            out[i] = self.counts(packed, num_cols)
-        return out
+        return counts_batch_fallback(self, row_idx, mask, num_cols)
+
+
+def counts_batch_fallback(engine, row_idx, mask, num_cols) -> np.ndarray:
+    """Per-query loop over any engine's (and_rows, counts) surface —
+    the batched-counts fallback for engines without a native batch op."""
+    b = row_idx.shape[0]
+    out = np.zeros((b, num_cols), dtype=np.int64)
+    for i in range(b):
+        valid = mask[i]
+        if not valid.any():
+            continue
+        packed = engine.and_rows(row_idx[i][valid])
+        out[i] = engine.counts(packed, num_cols)
+    return out

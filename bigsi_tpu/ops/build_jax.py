@@ -58,7 +58,10 @@ def device_bloom(kmers: jax.Array, *, m: int, h: int, layout: str = "classic"):
     else:
         raise ValueError("device_bloom supports classic/blocked, not %r" % layout)
     mw = (m + 31) // 32
-    hits = jnp.zeros((mw * 32,), jnp.uint8).at[rows.reshape(-1)].add(
+    # scatter-max (not add): duplicate k-mers are common in real
+    # sequence and an additive uint8 accumulator would wrap at 256
+    # hits, silently CLEARING the bit
+    hits = jnp.zeros((mw * 32,), jnp.uint8).at[rows.reshape(-1)].max(
         jnp.uint8(1), mode="drop"
     )
     return _pack_bits(hits > 0)
@@ -80,8 +83,7 @@ def device_transpose(blooms: jax.Array, m: int, rows_chunk: int = 4096):
     """
     n, mw = blooms.shape
     w = (n + 31) // 32
-    out = jnp.zeros((mw * 32, w), dtype=jnp.uint32)
-    wc = rows_chunk // 32
+    wc = max(1, rows_chunk // 32)
 
     @jax.jit
     def step(bl_words):

@@ -183,23 +183,13 @@ def make_sharded_grouped_step(mesh: Mesh):
     if mesh.shape[AXIS_KMERS] != 1:
         raise ValueError("grouped step requires a (d, 1, s) mesh")
 
-    from bigsi_tpu.ops.lookup import csa_counts
+    from bigsi_tpu.ops.lookup import grouped_counts
 
     def local_step(tiles_l, utile_l, gmask_l):
         t, tile_rows, w_l = tiles_l.shape
-        b, u = utile_l.shape
-        r = gmask_l.shape[2]
-        g = jnp.take(tiles_l.reshape(t, tile_rows * w_l), utile_l.reshape(-1), axis=0)
-        g = g.reshape(b, u, tile_rows, w_l)
-        rowbit = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 1, tile_rows, 1), 3)
-        sel = ((gmask_l[:, :, :, None, None] >> rowbit) & jnp.uint32(1)).astype(bool)
-        masked = jnp.where(sel, g[:, :, None, :, :], jnp.uint32(0xFFFFFFFF))
-        presence = jax.lax.reduce(
-            masked, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, (3,)
+        counts_l = grouped_counts(
+            tiles_l.reshape(t, tile_rows * w_l), utile_l, gmask_l
         )
-        valid = (gmask_l != 0)[..., None]
-        rows = jnp.where(valid, presence, jnp.uint32(0)).reshape(b, u * r, w_l)
-        counts_l = csa_counts(rows, axis=1)
         return jax.lax.all_gather(counts_l, AXIS_SAMPLES, axis=1, tiled=True)
 
     step = jax.shard_map(
@@ -234,11 +224,17 @@ class MeshEngine:
         self.words = shard_matrix(np.asarray(matrix.words), self.mesh)
         self._steps = {}
         self._grouped_step = None
+        self._grouped_db = None
         self._tiles3 = None
         self._h = h
 
     def _grouped(self):
-        """Lazy (d, 1, s) grouped step + tile-major sharded matrix."""
+        """Lazy (d, 1, s) grouped step + tile-major sharded matrix.
+
+        Returns (step, tiles3, batch_axis_size) — callers must pad the
+        query batch to a multiple of the GROUPED mesh's batch axis
+        (d*k when the base mesh has a k axis), not the base mesh's d.
+        """
         if self._grouped_step is None:
             d, k, s = (
                 self.mesh.shape[AXIS_BATCH],
@@ -255,7 +251,8 @@ class MeshEngine:
             tiles = tile_pack(np.asarray(self.matrix.words))
             self._tiles3 = shard_tiles(tiles, mesh)
             self._grouped_step = make_sharded_grouped_step(mesh)
-        return self._grouped_step, self._tiles3
+            self._grouped_db = mesh.shape[AXIS_BATCH]
+        return self._grouped_step, self._tiles3, self._grouped_db
 
     def _step(self, h: int):
         if h not in self._steps:
@@ -263,13 +260,17 @@ class MeshEngine:
         return self._steps[h]
 
     def _pad_sizes(self, b: int, k: int) -> tuple[int, int]:
+        """Pow2 buckets (aligned to the mesh axes) so varying serving
+        batch/query sizes reuse a handful of compiled shapes."""
         db = self.mesh.shape[AXIS_BATCH]
         dk = self.mesh.shape[AXIS_KMERS]
         bucket_k = max(64, dk)
         while bucket_k < k:
             bucket_k *= 2
         bucket_k = math.ceil(bucket_k / dk) * dk
-        bucket_b = math.ceil(b / db) * db
+        bucket_b = db
+        while bucket_b < b:
+            bucket_b *= 2
         return bucket_b, bucket_k
 
     def query_batch(self, row_idx_list):
@@ -304,8 +305,12 @@ class MeshEngine:
         if self.layout == "minimizer":
             from bigsi_tpu.ops.lookup import TILE_ROWS, build_grouped_streams
 
-            db = self.mesh.shape[AXIS_BATCH]
-            bb = math.ceil(b / db) * db
+            step, tiles3, db = self._grouped()
+            # pow2 batch bucket (multiple of the grouped mesh's batch
+            # axis) so serving batch sizes hit a few compiled shapes
+            bb = db
+            while bb < b:
+                bb *= 2
             tile = np.zeros((bb, k), dtype=np.int32)
             tile[:b] = row_idx[:, :, 0] // TILE_ROWS
             sm = np.zeros((bb, k), dtype=np.uint32)
@@ -317,7 +322,6 @@ class MeshEngine:
                 np.uint32(0),
             )
             utile, gmask = build_grouped_streams(tile, sm)
-            step, tiles3 = self._grouped()
             counts = step(tiles3, utile, gmask)
             return np.asarray(counts)[:b, :num_cols].astype(np.int64)
         bb, kk = self._pad_sizes(b, k)

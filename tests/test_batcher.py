@@ -64,3 +64,26 @@ def test_error_propagates():
         raised = True
     batcher.close()
     assert raised
+
+
+def test_close_answers_pending_requests():
+    """Requests queued at close() time must still be answered (an early
+    revision abandoned them, hanging callers forever)."""
+    bigsi, seqs = make_bigsi()
+    batcher = QueryBatcher(bigsi, max_wait_ms=200)  # long linger window
+    got = {}
+
+    def call(i):
+        got[i] = batcher.search(seqs[i % len(seqs)], 0.5)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    import time
+
+    time.sleep(0.05)  # requests now queued, worker lingering
+    batcher.close()
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads)
+    assert all(got[i] == bigsi.search(seqs[i % len(seqs)], 0.5) for i in range(4))

@@ -41,3 +41,17 @@ def test_device_transpose_matches_host():
     w = got.shape[1]
     assert np.array_equal(got, want[:, :w])
     assert np.all(want[:, w:] == 0)
+
+
+def test_device_bloom_256_duplicate_kmers():
+    """Regression: a k-mer repeated 256x must still set its bits (an
+    additive uint8 accumulator wrapped to zero)."""
+    import jax.numpy as jnp
+
+    kmer = np.frombuffer(b"ACGTACGTA", dtype=np.uint8)
+    once = np.asarray(device_bloom(jnp.asarray(kmer[None, :]), m=4096, h=3))
+    many = np.asarray(
+        device_bloom(jnp.asarray(np.tile(kmer, (256, 1))), m=4096, h=3)
+    )
+    assert np.array_equal(once, many)
+    assert once.any()

@@ -199,3 +199,34 @@ def test_search_batch_on_mesh_engine_minimizer():
     assert bigsi.search_batch(queries, 1.0) == [
         bigsi.search(q, 1.0) for q in queries
     ]
+
+
+def test_mesh_minimizer_odd_batch_on_k_mesh():
+    """Regression: minimizer counts on a (2,2,2) mesh pads the batch to
+    the GROUPED mesh's batch axis (d*k=4), not the base mesh's d=2."""
+    import random
+
+    from bigsi_tpu import BIGSI
+    from bigsi_tpu.storage import get_storage
+
+    cfg = {
+        "storage-engine": "memory",
+        "storage-config": {"filename": "mesh-min-odd"},
+        "k": 9,
+        "m": 2048,
+        "h": 3,
+        "layout": "minimizer",
+        "engine": "mesh",
+        "mesh": [2, 2, 2],
+    }
+    get_storage(cfg).delete_all()
+    rng = random.Random(29)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(40)) for _ in range(3)]
+    blooms = [
+        BIGSI.bloom(cfg, [s[i : i + 9] for i in range(len(s) - 8)]) for s in seqs
+    ]
+    bigsi = BIGSI.build(cfg, blooms, ["s0", "s1", "s2"])
+    queries = (seqs * 2)[:5]  # 5 queries: not a multiple of d*k
+    assert bigsi.search_batch(queries, 0.5) == [
+        bigsi.search(q, 0.5) for q in queries
+    ]
