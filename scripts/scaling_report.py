@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--h", type=int, default=3)
     ap.add_argument("--axis", default="s", choices=["s", "d", "k"],
                     help="which mesh axis absorbs the devices")
+    ap.add_argument("--grouped", action="store_true",
+                    help="use the minimizer tile-dedup step (axis s or d)")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend with 8 virtual devices")
@@ -51,7 +53,13 @@ def main():
     else:
         import jax
 
-    from bigsi_tpu.parallel.sharding import make_mesh, make_sharded_query_step, shard_matrix
+    from bigsi_tpu.parallel.sharding import (
+        make_mesh,
+        make_sharded_grouped_step,
+        make_sharded_query_step,
+        shard_matrix,
+        shard_tiles,
+    )
 
     ndev = len(jax.devices())
     rng = np.random.default_rng(0)
@@ -59,6 +67,24 @@ def main():
     words = rng.integers(0, 2 ** 32, size=(args.m, w), dtype=np.uint32)
     idx = rng.integers(0, args.m, size=(args.batch, args.kmers, args.h)).astype(np.int32)
     mask = np.ones((args.batch, args.kmers), dtype=bool)
+    if args.grouped:
+        if args.axis == "k":
+            ap.error("--grouped supports axis s or d")
+        from bigsi_tpu.index.device_engine import tile_pack
+        from bigsi_tpu.ops.lookup import TILE_ROWS, build_grouped_streams
+
+        tiles = tile_pack(words)
+        T = tiles.shape[0]
+        run = 6
+        run_tiles = rng.integers(
+            0, T, size=(args.batch, (args.kmers + run - 1) // run)
+        ).astype(np.int32)
+        tile_ids = np.repeat(run_tiles, run, axis=1)[:, : args.kmers]
+        slots = rng.integers(
+            0, TILE_ROWS, size=(args.batch, args.kmers, args.h)
+        ).astype(np.uint32)
+        sm = np.bitwise_or.reduce(np.uint32(1) << slots, axis=2)
+        utile, gmask = build_grouped_streams(tile_ids, sm)
 
     sizes = []
     n = 1
@@ -71,13 +97,19 @@ def main():
     for n in sizes:
         axes = {"s": (1, 1, n), "d": (n, 1, 1), "k": (1, n, 1)}[args.axis]
         mesh = make_mesh(n, axes, devices=jax.devices()[:n])
-        step = make_sharded_query_step(mesh, args.h)
-        w_sharded = shard_matrix(words, mesh)
-        counts, exact = step(w_sharded, idx, mask)  # compile + warm
+        if args.grouped:
+            step = make_sharded_grouped_step(mesh)
+            t_sharded = shard_tiles(tiles, mesh)
+            run_once = lambda: step(t_sharded, utile, gmask)  # noqa: E731
+        else:
+            qstep = make_sharded_query_step(mesh, args.h)
+            w_sharded = shard_matrix(words, mesh)
+            run_once = lambda: qstep(w_sharded, idx, mask)[0]  # noqa: E731
+        counts = run_once()  # compile + warm
         np.asarray(counts)
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            counts, exact = step(w_sharded, idx, mask)
+            counts = run_once()
         np.asarray(counts)[0, 0]
         dt = (time.perf_counter() - t0) / args.steps
         qps = args.batch / dt
