@@ -48,13 +48,11 @@ def unpack_words(packed: jax.Array) -> jax.Array:
 def counts_from_packed(packed: jax.Array, mask: jax.Array) -> jax.Array:
     """Per-sample hit counts: uint32[K, W], bool[K] -> int32[W*32].
 
-    Equivalent of ``unpack_and_sum`` (``bigsi.py:35-44``), fused by XLA:
-    the [K, W, 32] unpack never materializes.
+    Equivalent of ``unpack_and_sum`` (``bigsi.py:35-44``), via the
+    carry-save popcount tree (see :func:`csa_counts`).
     """
-    bits = (packed[:, :, None] >> _bit_shifts()[None, None, :]) & jnp.uint32(1)
-    bits = bits.astype(jnp.int32) * mask[:, None, None].astype(jnp.int32)
-    counts = bits.sum(axis=0)  # [W, 32]
-    return counts.reshape(-1)
+    masked = jnp.where(mask[:, None], packed, jnp.uint32(0))
+    return csa_counts(masked, axis=0)
 
 
 def exact_and_reduce(packed: jax.Array, mask: jax.Array) -> jax.Array:
