@@ -186,7 +186,9 @@ def csa_counts(rows: jax.Array, axis: int = -2) -> jax.Array:
     return total.reshape(*total.shape[:-2], total.shape[-2] * 32)
 
 
-GROUP_R = 8  # k-mers per distinct tile in the grouped layout (runs ~6)
+GROUP_R = 6  # k-mers per distinct tile in the grouped layout (runs ~6)
+# chip-tuned (scripts/microbench7.py, TPU v5e): R=6 + arithmetic mask
+# 210 Mrows/s vs R=8 + where 207 / R=12 179; unrolled AND tree 79.
 
 
 def build_grouped_streams(tile, smask, r: int = GROUP_R, u_bucket: int = 16):
@@ -250,8 +252,10 @@ def grouped_counts(tiles: jax.Array, utile: jax.Array, gmask: jax.Array):
     w = tiles.shape[1] // TILE_ROWS
     g = jnp.take(tiles, utile.reshape(-1), axis=0).reshape(b, u, TILE_ROWS, w)
     rowbit = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 1, TILE_ROWS, 1), 3)
-    sel = ((gmask[:, :, :, None, None] >> rowbit) & jnp.uint32(1)).astype(bool)
-    masked = jnp.where(sel, g[:, :, None, :, :], jnp.uint32(0xFFFFFFFF))
+    # arithmetic masking (sel-1: 0 if selected, all-ones otherwise)
+    # beats bool-where by ~3% on chip (scripts/microbench7.py)
+    sel = (gmask[:, :, :, None, None] >> rowbit) & jnp.uint32(1)
+    masked = g[:, :, None, :, :] | (sel - jnp.uint32(1))
     presence = jax.lax.reduce(
         masked, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, (3,)
     )  # [B, U, R, W]
