@@ -191,7 +191,9 @@ GROUP_R = 6  # k-mers per distinct tile in the grouped layout (runs ~6)
 # 210 Mrows/s vs R=8 + where 207 / R=12 179; unrolled AND tree 79.
 
 
-def build_grouped_streams(tile, smask, r: int = GROUP_R, u_bucket: int = 16):
+def build_grouped_streams(
+    tile, smask, r: int = GROUP_R, u_bucket: int = 16, slots=None
+):
     """Host prep for the grouped (tile-deduplicated) XLA query path.
 
     tile int32[B, K] (tile id per k-mer), smask uint32[B, K] (0 = pad)
@@ -204,6 +206,11 @@ def build_grouped_streams(tile, smask, r: int = GROUP_R, u_bucket: int = 16):
     With the minimizer layout (~6 consecutive k-mers share a tile) this
     cuts the issue-rate-bound device gather ~6x; the expansion back to
     per-kmer presence happens as dense masked-AND VPU work.
+
+    If ``slots`` (int[B, K, h] per-kmer tile-row indices) is given, a
+    third array ``uslot int32[B, U, r, h]`` is returned with the same
+    scatter (padding entries hold 0) — used by selection paths that
+    need the h row ids separately rather than as a bit mask.
     """
     import numpy as np
 
@@ -238,7 +245,11 @@ def build_grouped_streams(tile, smask, r: int = GROUP_R, u_bucket: int = 16):
     utile[bi, entry[bi, ki]] = tile[bi, ki]
     vi = np.nonzero(valid)
     gmask[vi[0], entry[vi], slot_in_entry[vi]] = smask[vi]
-    return utile, gmask
+    if slots is None:
+        return utile, gmask
+    uslot = np.zeros((b, u, r, slots.shape[2]), dtype=np.int32)
+    uslot[vi[0], entry[vi], slot_in_entry[vi], :] = slots[vi]
+    return utile, gmask, uslot
 
 
 def grouped_counts(tiles: jax.Array, utile: jax.Array, gmask: jax.Array):
