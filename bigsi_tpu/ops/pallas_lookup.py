@@ -267,6 +267,103 @@ def _slices(b, bsub):
     return out
 
 
+def _grouped_kernel(gmask_ref, g_ref, counts_ref, exact_ref, *, r):
+    """Per grid step: one query's U gathered tiles (VMEM block) ->
+    twisted counts [8, 128] + twisted exact [1, 128].
+
+    Each tile is read from VMEM once per k-mer slot — the whole point:
+    the XLA masked-reduce formulation re-reads every tile from HBM once
+    per k-mer (~R x more HBM traffic), which round-2 microbenches
+    showed is 60% of the grouped step (scripts/microbench_r3.py).
+    """
+    u = g_ref.shape[1]
+    g = g_ref[0]  # [U, 8, 128] fat tiles: row(j,l) = 4j + l//32
+    sub = jax.lax.broadcasted_iota(jnp.uint32, (1, SUBLANES, LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (1, SUBLANES, LANES), 2)
+    riot = 4 * sub + lane // 32          # tile row living at (j, l)
+    shiftg = (sub + 8 * (lane // 32))[0]  # sample bit unpacked at (j, l)
+    ones = jnp.uint32(0xFFFFFFFF)
+
+    acc = jnp.zeros((SUBLANES, LANES), jnp.int32)
+    eacc = jnp.full((1, LANES), ones, jnp.uint32)
+    for slot in range(r):
+        gm = gmask_ref[0, :, slot]  # [U]
+        sel = (gm[:, None, None] >> riot) & jnp.uint32(1)
+        masked = g | (sel - jnp.uint32(1))  # [U, 8, 128]
+        red = masked[:, 0, :]
+        for j in range(1, SUBLANES):
+            red = red & masked[:, j, :]  # [U, 128]
+        red = red & pltpu.roll(red, 32, axis=1)
+        red = red & pltpu.roll(red, 64, axis=1)  # all 4 quadrants = p[l%32]
+        valid = jnp.where(gm != 0, ones, jnp.uint32(0))  # [U]
+        bits = (red[:, None, :] >> shiftg[None]) & jnp.uint32(1)
+        acc = acc + jnp.sum(
+            (bits & valid[:, None, None]).astype(jnp.int32), axis=0
+        )
+        # exact: AND over valid slots; pad U to a power of two with ones
+        ev = jnp.where(valid[:, None] != 0, red, ones)
+        n = 1
+        while n < u:
+            n *= 2
+        if n != u:
+            ev = jnp.concatenate(
+                [ev, jnp.full((n - u, LANES), ones, jnp.uint32)], axis=0
+            )
+        while n > 1:
+            ev = ev[: n // 2] & ev[n // 2:]
+            n //= 2
+        eacc = eacc & ev
+
+    counts_ref[0] = acc
+    exact_ref[0] = eacc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def grouped_fused(tiles, utile, gmask, interpret=None):
+    """Grouped (tile-dedup) query step, Pallas-fused presence+counts.
+
+    tiles uint32[T, TILE_ROWS * 32] (W == 32 only), utile int32[B, U],
+    gmask uint32[B, U, R] (0 = pad) -> (counts int32[B, 1024] sample
+    order, exact_words uint32[B, 32]).
+
+    Drop-in replacement for ops.lookup.grouped_counts that also returns
+    the exact-filter AND.  The gather stays in XLA (it runs at HBM
+    bandwidth for 4 KB tiles); only the presence expansion + popcount
+    accumulate move into the kernel, reading each gathered tile from
+    VMEM instead of R times from HBM.
+    """
+    b, u = utile.shape
+    r = gmask.shape[2]
+    g = jnp.take(tiles, utile.reshape(-1), axis=0)
+    g = g.reshape(b, u, SUBLANES, LANES)  # fat view, no data movement
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    counts_t, exact_t = pl.pallas_call(
+        functools.partial(_grouped_kernel, r=r),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, u, r), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, u, SUBLANES, LANES), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, LANES), jnp.uint32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(gmask, g)
+    perm = jnp.asarray(untwist_permutation())
+    counts = jnp.take(counts_t.reshape(b, SUBLANES * LANES), perm, axis=1)
+    exact_words = exact_t[:, 0, :32]
+    return counts, exact_words
+
+
 def query_counts_exact(tiles_fat, tile, smask, chunk: int = CHUNK):
     """High-level wrapper: numpy streams in, untwisted numpy out.
 
