@@ -18,7 +18,8 @@ import yaml
 from bigsi_tpu.constants import DEFAULT_CONFIG
 
 REQUIRED_KEYS = ("k", "m", "h")
-KNOWN_ENGINES = ("numpy", "tpu")
+KNOWN_ENGINES = ("numpy", "tpu", "mesh")
+KNOWN_LAYOUTS = ("classic", "blocked", "minimizer")
 
 
 def get_config_from_file(config_file: str | None) -> dict:
@@ -43,6 +44,22 @@ def validate_config(config: dict) -> dict:
         raise ValueError(
             "unknown engine %r (expected one of %s)" % (engine, list(KNOWN_ENGINES))
         )
+    layout = config.get("layout", "classic")
+    if layout not in KNOWN_LAYOUTS:
+        raise ValueError(
+            "unknown layout %r (expected one of %s)" % (layout, list(KNOWN_LAYOUTS))
+        )
+    mesh = config.get("mesh")
+    if mesh is not None:
+        if (
+            not isinstance(mesh, (list, tuple))
+            or not 1 <= len(mesh) <= 3
+            or not all(isinstance(a, int) and a >= 1 for a in mesh)
+        ):
+            raise ValueError(
+                "config key 'mesh' must be a list of 1-3 positive axis sizes "
+                "(d, k, s), got %r" % (mesh,)
+            )
     if config["k"] > 31:
         raise ValueError("k must be <= 31 (2-bit uint64 packing)")
     return config

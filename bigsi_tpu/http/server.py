@@ -134,7 +134,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         self._dispatch(
-            {"/search", "/bulk_search", "/variant_search", "/insert", "/merge", "/build"}
+            {"/search", "/bulk_search", "/variant_search", "/insert",
+             "/merge", "/build", "/bloom"}
         )
 
     def do_DELETE(self):
@@ -162,6 +163,8 @@ class _Handler(BaseHTTPRequestHandler):
                 "/variant_search": self._handle_variant_search,
                 "/insert": self._handle_insert,
                 "/merge": self._handle_merge,
+                "/build": self._handle_build,
+                "/bloom": self._handle_bloom,
             }[route]
             handler(params)
         except KeyError as e:
@@ -191,6 +194,8 @@ class _Handler(BaseHTTPRequestHandler):
                         "/variant_search",
                         "/insert",
                         "/merge",
+                        "/build",
+                        "/bloom",
                         "/metrics",
                     ],
                 }
@@ -258,6 +263,71 @@ class _Handler(BaseHTTPRequestHandler):
             index=self.server.bigsi,
             bloomfilter=params["bloomfilter"],
             sample=params["sample"],
+        )
+        self.server.invalidate()
+        self._reply(json.dumps(result))
+
+    def _handle_bloom(self, params):
+        """Server-side bloom construction from a cortex graph
+        (reference route: ``bigsi/__main__.py:119-131``)."""
+        from bigsi_tpu.cmds import bloom
+        from bigsi_tpu.io.cortex import extract_kmers_from_ctx
+
+        config = self.server.config
+        bloom(
+            config=config,
+            outfile=params["outfile"],
+            kmers=extract_kmers_from_ctx(params["ctx"], config["k"]),
+        )
+        self._reply(json.dumps({"result": "success"}))
+
+    def _handle_build(self, params):
+        """Server-side index build from .bloom files (reference route:
+        ``bigsi/__main__.py:134-171``).  Accepts ``bloomfilters`` and
+        ``samples`` as JSON arrays or comma-separated strings, or a
+        ``from_file`` TSV path."""
+        from bigsi_tpu.cmds import build
+        from bigsi_tpu.config import parse_size
+
+        def as_list(v):
+            if v is None:
+                return []
+            if isinstance(v, str):
+                return [x for x in v.split(",") if x]
+            return list(v)
+
+        bloomfilters = as_list(params.get("bloomfilters"))
+        samples = as_list(params.get("samples"))
+        from_file = params.get("from_file")
+        if from_file and bloomfilters:
+            raise ValueError(
+                "specify blooms via from_file or bloomfilters, not both"
+            )
+        if from_file:
+            import csv as _csv
+
+            bloomfilters, samples = [], []
+            with open(from_file) as tsvfile:
+                for row in _csv.reader(tsvfile, delimiter="\t"):
+                    bloomfilters.append(row[0])
+                    samples.append(row[1])
+        if not bloomfilters:
+            raise KeyError("bloomfilters")
+        if not samples:
+            samples = list(bloomfilters)
+        if len(samples) != len(bloomfilters):
+            raise ValueError("samples and bloomfilters must pair up")
+        config = self.server.config
+        max_memory = (
+            parse_size(config["max_build_mem_bytes"])
+            if config.get("max_build_mem_bytes")
+            else None
+        )
+        result = build(
+            config=config,
+            bloomfilter_filepaths=bloomfilters,
+            samples=samples,
+            max_memory=max_memory,
         )
         self.server.invalidate()
         self._reply(json.dumps(result))

@@ -65,9 +65,14 @@ def make_mesh(n_devices: int | None = None, axis_sizes=None, devices=None) -> Me
     if axis_sizes is None:
         axis_sizes = factor_devices(n)
     d, k, s = axis_sizes
-    if d * k * s != n:
-        raise ValueError("mesh axes %r do not multiply to %d devices" % (axis_sizes, n))
-    arr = np.array(devices[:n]).reshape(d, k, s)
+    if d * k * s > n:
+        raise ValueError(
+            "mesh axes %r need %d devices but only %d are available"
+            % (axis_sizes, d * k * s, n)
+        )
+    # axes may multiply to FEWER than available: a config pinning a
+    # small mesh (e.g. [1, 1, 2] on an 8-chip host) uses a device subset
+    arr = np.array(devices[: d * k * s]).reshape(d, k, s)
     return Mesh(arr, (AXIS_BATCH, AXIS_KMERS, AXIS_SAMPLES))
 
 

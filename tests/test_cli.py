@@ -230,6 +230,95 @@ def test_http_server(ws):
         server.shutdown()
 
 
+def test_http_bloom_build_search(ws, tmp_path):
+    """HTTP-only flow: POST /bloom -> POST /build -> GET /search
+    (reference exposes every verb over HTTP, ``bigsi/__main__.py:103-320``)."""
+    from bigsi_tpu.config import get_config_from_file
+    from bigsi_tpu.http.server import make_server
+
+    _, cfg = ws
+    server = make_server(get_config_from_file(cfg), host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    def post(route, payload):
+        req = urllib.request.Request(
+            "http://127.0.0.1:%d%s" % (port, route),
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    try:
+        b1 = str(tmp_path / "h1.bloom")
+        b2 = str(tmp_path / "h2.bloom")
+        assert post(
+            "/bloom",
+            {"ctx": os.path.join(REF_DATA, "test1.ctx"), "outfile": b1},
+        ) == {"result": "success"}
+        assert post(
+            "/bloom",
+            {"ctx": os.path.join(REF_DATA, "test2.ctx"), "outfile": b2},
+        ) == {"result": "success"}
+        assert post(
+            "/build", {"bloomfilters": [b1, b2], "samples": ["s1", "s2"]}
+        ) == {"result": "success"}
+        seq = kmer_in_sample("test1.ctx")
+        url = "http://127.0.0.1:%d/search?seq=%s" % (port, seq)
+        with urllib.request.urlopen(url) as resp:
+            d = json.loads(resp.read())
+        assert {r["sample_name"] for r in d["results"]} == {"s1", "s2"}
+        # comma-separated form-encoded variant also accepted
+        with urllib.request.urlopen("http://127.0.0.1:%d/" % port) as resp:
+            routes = json.loads(resp.read())["routes"]
+        assert "/build" in routes and "/bloom" in routes
+    finally:
+        server.shutdown()
+
+
+def test_mesh_engine_yaml_config(ws, tmp_path):
+    """A YAML config with engine: mesh must load (round-1 bug: mesh was
+    missing from KNOWN_ENGINES so every real user config was rejected)
+    and serve identical search results."""
+    _, cfg = ws
+    build_two_samples(ws)
+    expect = json.loads(cli(["search", first_query_seq(), "-c", cfg, "-t", "0.03"]))
+
+    mesh_d = {
+        "k": 31,
+        "m": 25000,
+        "h": 3,
+        "engine": "mesh",
+        "mesh": [1, 1, 2],
+        "storage-engine": "bigsi-tpu",
+        "storage-config": {"filename": str(ws[0] / "index")},
+    }
+    cfgm = str(tmp_path / "mesh.yaml")
+    with open(cfgm, "w") as f:
+        yaml.safe_dump(mesh_d, f)
+    got = json.loads(cli(["search", first_query_seq(), "-c", cfgm, "-t", "0.03"]))
+    assert got["results"] == expect["results"]
+
+
+def test_config_validation_errors(tmp_path):
+    from bigsi_tpu.config import validate_config
+
+    base = {"k": 31, "m": 1000, "h": 3}
+    with pytest.raises(ValueError, match="engine"):
+        validate_config({**base, "engine": "gpu"})
+    validate_config({**base, "engine": "mesh"})  # fixed: mesh is known
+    with pytest.raises(ValueError, match="layout"):
+        validate_config({**base, "layout": "minimiser"})
+    with pytest.raises(ValueError, match="mesh"):
+        validate_config({**base, "mesh": [3, 3, 3, 3]})
+    with pytest.raises(ValueError, match="mesh"):
+        validate_config({**base, "mesh": "2x4"})
+    validate_config({**base, "mesh": [2, 1, 4]})
+
+
 def test_d_to_csv():
     d = {
         "query": "ACGT",
