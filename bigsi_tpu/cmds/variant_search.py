@@ -18,10 +18,6 @@ from bigsi_tpu.io.fasta import read_fasta
 logger = logging.getLogger(__name__)
 
 
-def flatten(l):
-    return [item for sublist in l for item in sublist]
-
-
 class BIGSIVariantSearch:
     def __init__(self, bigsi, reference):
         self.bigsi = bigsi
@@ -59,29 +55,32 @@ class BIGSIVariantSearch:
         refs, alts = self._split_probes(self.create_variant_probe_set(var_name))
         return {"query": var_name, "results": self.genotype_alleles(refs, alts)}
 
-    def search_for_alleles(self, ref_seqs, alt_seqs) -> dict:
-        results = {"ref": [], "alt": []}
-        for ref in ref_seqs:
-            res = self.bigsi.search(ref, 1, score=False)
-            results["ref"].extend([r["sample_name"] for r in res])
-        for alt in alt_seqs:
-            res = self.bigsi.search(alt, 1, score=False)
-            results["alt"].extend([r["sample_name"] for r in res])
-        return results
+    def _matching_samples(self, probe_seqs) -> set:
+        """Samples matching ANY of the probes exactly (threshold 1)."""
+        names = set()
+        for seq in probe_seqs:
+            names.update(
+                r["sample_name"] for r in self.bigsi.search(seq, 1, score=False)
+            )
+        return names
 
     def genotype_alleles(self, refs, alts) -> list:
-        ref_alt_samples = self.search_for_alleles(refs, alts)
-        results = []
-        for sample_name in set(flatten(ref_alt_samples.values())):
-            in_ref = sample_name in ref_alt_samples["ref"]
-            in_alt = sample_name in ref_alt_samples["alt"]
-            if in_ref and in_alt:
-                results.append({"sample_name": sample_name, "genotype": "0/1"})
-            elif in_ref:
-                results.append({"sample_name": sample_name, "genotype": "0/0"})
-            elif in_alt:
-                results.append({"sample_name": sample_name, "genotype": "1/1"})
-        return results
+        """Classify each sample hit by which allele probes it carries:
+        ref only -> 0/0, both -> 0/1, alt only -> 1/1
+        (reference semantics: ``bigsi/cmds/variant_search.py:60-73``;
+        output here is name-sorted where the reference iterates a set)."""
+        ref_hits = self._matching_samples(refs)
+        alt_hits = self._matching_samples(alts)
+        calls = {}
+        for name in ref_hits | alt_hits:
+            in_ref, in_alt = name in ref_hits, name in alt_hits
+            calls[name] = "0/1" if (in_ref and in_alt) else (
+                "0/0" if in_ref else "1/1"
+            )
+        return [
+            {"sample_name": name, "genotype": calls[name]}
+            for name in sorted(calls)
+        ]
 
 
 class BIGSIAminoAcidMutationSearch(BIGSIVariantSearch):
