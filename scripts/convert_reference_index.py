@@ -8,19 +8,29 @@ The equivalent of the reference's ``scripts/convert_v01_to_v03.py``
   restartable build intermediate (raw MSB-first bit bytes,
   ``bigsi/cmds/bloom.py:26-27``).  This is the recommended path and
   needs no extra dependencies.
-* ``--berkeleydb``: a reference v0.3 BerkeleyDB index (requires the
-  optional ``bsddb3`` package, exactly as the reference itself does).
+* ``--berkeleydb``: a reference BerkeleyDB index, read with the
+  in-repo pure-Python DB_HASH reader (no bsddb3 needed).  Both
+  persisted layouts are auto-detected:
+
+  - v0.1: a directory with ``graph`` + ``metadata`` DB files,
+    big-endian int values, ``colour%i`` name keys, big-endian row keys
+    (what ``/root/reference/example-data/test-bigsi`` is, and what the
+    reference's own ``scripts/convert_v01_to_v03.py`` consumes);
+  - v0.3: a single DB file with typed string keys
+    (``ksi:bloomfilter_size:int``, ``%d:bitarray`` rows,
+    ``metadata:%d:string`` names — ``bigsi/storage/base.py:29-52``).
 
 Usage:
   python scripts/convert_reference_index.py --config new.yaml \
       --blooms s1.bloom s2.bloom --samples s1 s2
   python scripts/convert_reference_index.py --config new.yaml \
-      --berkeleydb /path/to/ref-index
+      --berkeleydb /root/reference/example-data/test-bigsi
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -30,6 +40,7 @@ import numpy as np
 from bigsi_tpu.bloom import load_bloom_file
 from bigsi_tpu.config import get_config_from_file
 from bigsi_tpu.graph import BIGSI
+from bigsi_tpu.storage.berkeleydb_reader import BerkeleyHashReader
 
 
 def from_blooms(config, bloom_paths, samples):
@@ -38,42 +49,71 @@ def from_blooms(config, bloom_paths, samples):
     print("converted %d blooms -> %s" % (len(blooms), config["storage-config"]))
 
 
-def from_berkeleydb(config, path):
-    try:
-        import bsddb3.db as db
-    except ImportError:
-        raise SystemExit(
-            "--berkeleydb conversion needs the optional bsddb3 package "
-            "(the reference's own dependency); use --blooms instead"
-        )
-    # Reference v0.3 layout: one DB file with typed keys (storage/base.py)
-    handle = db.DB()
-    handle.open(path, flags=db.DB_RDONLY)
+def _columns_from_rows(get_row_bytes, m, num_cols):
+    """Rebuild bloom columns from m stored rows (MSB-first row bytes,
+    byte-padded to ceil(num_cols/8) — ``bigsi/matrix/bitmatrix.py:34-37``)."""
+    cols = np.zeros((num_cols, m), dtype=bool)
+    for r in range(m):
+        raw = get_row_bytes(r)
+        row = np.unpackbits(np.frombuffer(raw, dtype=np.uint8), bitorder="big")
+        cols[:, r] = row[:num_cols]
+    return cols
+
+
+def read_v01(path):
+    """Reference v0.1 layout: graph + metadata DB files in a directory."""
+    meta = BerkeleyHashReader(os.path.join(path, "metadata"))
+    graph = BerkeleyHashReader(os.path.join(path, "graph"))
+
+    def be_int(key):
+        return int.from_bytes(meta[key], "big")
+
+    m = be_int(b"bloom_filter_size")
+    h = be_int(b"num_hashes")
+    k = be_int(b"kmer_size")
+    if b"num_colours" in meta:
+        n = be_int(b"num_colours")
+    else:
+        import pickle
+
+        n = len(pickle.loads(meta[b"colours"]))
+    samples = [meta[b"colour%d" % c].decode() for c in range(n)]
+    cols = _columns_from_rows(
+        lambda r: graph[r.to_bytes(4, "big")], m, n
+    )
+    return dict(m=m, h=h, k=k), samples, cols
+
+
+def read_v03(path):
+    """Reference v0.3 layout: one DB file with typed string keys."""
+    db = BerkeleyHashReader(path)
 
     def get_int(key):
-        return int(handle[key.encode()].decode())
+        return int(db[key.encode()].decode())
 
     m = get_int("ksi:bloomfilter_size:int")
     h = get_int("ksi:num_hashes:int")
     num_cols = get_int("number_of_cols:int")
-    num_samples = get_int("metadata:colour_count:int")
-    samples = [
-        handle[("metadata:%d:string" % c).encode()].decode()
-        for c in range(num_samples)
-    ]
-    config = dict(config, m=m, h=h)
-    # rebuild columns from rows
-    cols = np.zeros((num_cols, m), dtype=bool)
-    for r in range(m):
-        row = np.unpackbits(
-            np.frombuffer(handle[("%d:bitarray" % r).encode()], dtype=np.uint8),
-            bitorder="big",
-        )
-        cols[:, r] = row[:num_cols]
-    handle.close()
-    BIGSI.build(config, [cols[c] for c in range(num_cols)], samples)
-    print("converted BerkeleyDB index (%d samples, m=%d) -> %s" % (
-        num_samples, m, config["storage-config"]))
+    n = get_int("metadata:colour_count:int")
+    samples = [db[("metadata:%d:string" % c).encode()].decode() for c in range(n)]
+    cols = _columns_from_rows(
+        lambda r: db[("%d" % r).encode() + b":bitarray"], m, num_cols
+    )
+    return dict(m=m, h=h), samples, cols
+
+
+def from_berkeleydb(config, path):
+    if os.path.isdir(path):
+        params, samples, cols = read_v01(path)
+    else:
+        params, samples, cols = read_v03(path)
+    config = dict(config, **params)
+    BIGSI.build(config, [cols[c] for c in range(len(samples))], samples)
+    print(
+        "converted BerkeleyDB index (%d samples, m=%d, h=%d) -> %s"
+        % (len(samples), config["m"], config["h"], config["storage-config"])
+    )
+    return config
 
 
 def main():
