@@ -1,0 +1,271 @@
+"""Multi-host distribution: jax.distributed init, query broadcast,
+host-0 assembly.
+
+The reference's multi-machine story is a shared Redis server that many
+stateless query processes hit over TCP (``bigsi/storage/redis.py:8-49``
+— the index lives in one place, clients bring queries to it).  The
+TPU-native inversion (SURVEY §5.8): the index column-shards across the
+HBM of every host's chips (one global ``samples`` axis), queries enter
+at host 0, broadcast to all hosts over DCN
+(``multihost_utils.broadcast_one_to_all``), every host executes the
+same sharded query step (collectives ride ICI within a host, DCN
+across), and the replicated result is read off host 0.
+
+Emulation without hardware: ``initialize()`` with a localhost
+coordinator + ``JAX_PLATFORMS=cpu`` + gloo collectives gives N
+processes x M virtual CPU devices — the exact code path multi-host TPU
+uses (tests/test_distributed.py runs 2x2).
+
+Worker protocol (host 0 = frontend, others = workers running
+``run_worker_loop``): each dispatch broadcasts a small int32 header
+``(op, rows)`` then the padded query arrays; OP_STOP ends the loop.
+Compiled steps are cached per padded shape bucket, so workers and host
+0 stay in lockstep executing identical programs.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bigsi_tpu.parallel.sharding import (
+    AXIS_BATCH,
+    AXIS_KMERS,
+    AXIS_SAMPLES,
+    factor_devices,
+    make_mesh,
+    make_sharded_query_step,
+)
+
+logger = logging.getLogger(__name__)
+
+OP_QUERY = 1
+OP_STOP = 0
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """``jax.distributed.initialize`` with env fallbacks.
+
+    Env: ``BIGSI_TPU_COORDINATOR``, ``BIGSI_TPU_NUM_PROCESSES``,
+    ``BIGSI_TPU_PROCESS_ID``.  On the CPU backend the gloo collectives
+    implementation is selected automatically (required for
+    cross-process CPU collectives).
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "BIGSI_TPU_COORDINATOR"
+    )
+    if num_processes is None and os.environ.get("BIGSI_TPU_NUM_PROCESSES"):
+        num_processes = int(os.environ["BIGSI_TPU_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("BIGSI_TPU_PROCESS_ID"):
+        process_id = int(os.environ["BIGSI_TPU_PROCESS_ID"])
+    if jax.config.jax_platforms == "cpu" or (
+        os.environ.get("JAX_PLATFORMS") == "cpu"
+    ):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    logger.info(
+        "distributed: process %d/%d, %d local / %d global devices",
+        jax.process_index(),
+        jax.process_count(),
+        len(jax.local_devices()),
+        len(jax.devices()),
+    )
+
+
+def make_global_mesh(axis_sizes=None):
+    """Mesh over ALL processes' devices.  The sample axis spans hosts
+    (each host's HBM holds a column shard of the matrix); query-batch
+    and k-mer axes stay host-local by putting ``s`` outermost."""
+    devices = jax.devices()
+    n = len(devices)
+    if axis_sizes is None:
+        d, k, s = factor_devices(n)
+    else:
+        d, k, s = axis_sizes
+    # s outermost: consecutive (host-ordered) devices differ along d/k
+    # first, so d/k collectives stay intra-host where possible
+    arr = np.array(devices).reshape(s, d, k).transpose(1, 2, 0)
+    return make_mesh(axis_sizes=(d, k, s), devices=arr.reshape(-1))
+
+
+def distribute_words(words_global: np.ndarray | None, mesh, *, m: int, w: int):
+    """Place the packed matrix P(None, s) across processes.
+
+    Each process contributes ONLY its own column shard
+    (``jax.make_array_from_process_local_data``), so no host ever holds
+    the full matrix — the requirement for 450k-sample indexes.  For
+    convenience ``words_global`` may be the full matrix (every process
+    slices out its part; fine for tests/small indexes) or already just
+    the local shard.
+    """
+    sharding = NamedSharding(mesh, P(None, AXIS_SAMPLES))
+    s = mesh.shape[AXIS_SAMPLES]
+    w_pad = -(-w // s) * s
+    shard_w = w_pad // s
+    if words_global is not None and words_global.shape[1] == w:
+        padded = np.zeros((m, w_pad), dtype=np.uint32)
+        padded[:, :w] = words_global
+        # columns this process owns: its devices' s-coordinates
+        local = _local_word_slice(padded, mesh, shard_w)
+    else:
+        local = words_global
+    return jax.make_array_from_process_local_data(
+        sharding, local, global_shape=(m, w_pad)
+    )
+
+
+def _local_word_slice(padded, mesh, shard_w):
+    """Concatenate the word columns owned by this process's devices."""
+    mine = []
+    seen = set()
+    for idx, dev in np.ndenumerate(mesh.devices):
+        if dev.process_index != jax.process_index():
+            continue
+        s_coord = idx[2]
+        if s_coord in seen:
+            continue  # replicated across d/k: contribute each shard once
+        seen.add(s_coord)
+        mine.append(padded[:, s_coord * shard_w:(s_coord + 1) * shard_w])
+    return np.concatenate(mine, axis=1)
+
+
+class DistributedQueryService:
+    """Host-0 dispatch + worker lockstep execution of the sharded step.
+
+    All processes construct it identically (matrix, mesh, h, buckets);
+    host 0 then calls :meth:`query`, workers run :meth:`run_worker_loop`.
+    """
+
+    def __init__(self, words, mesh, *, m: int, h: int, num_samples: int,
+                 bucket=(8, 64)):
+        self.mesh = mesh
+        self.m = m
+        self.h = h
+        self.num_samples = num_samples
+        self.bucket = bucket
+        self.words = distribute_words(
+            np.asarray(words) if words is not None else None,
+            mesh, m=m, w=words.shape[1],
+        )
+        self._step = make_sharded_query_step(mesh, h)
+        self._put_cache = {}
+
+    # -- shape bucketing -------------------------------------------------
+
+    def _pad(self, idx: np.ndarray, mask: np.ndarray):
+        b, k, _ = idx.shape
+        d = self.mesh.shape[AXIS_BATCH]
+        kk = self.mesh.shape[AXIS_KMERS]
+        bb = max(self.bucket[0], -(-b // d) * d)
+        kb = max(self.bucket[1], -(-k // kk) * kk)
+        pidx = np.zeros((bb, kb, self.h), dtype=np.int32)
+        pmask = np.zeros((bb, kb), dtype=bool)
+        pidx[:b, :k] = idx
+        pmask[:b, :k] = mask
+        return pidx, pmask
+
+    def _run(self, pidx: np.ndarray, pmask: np.ndarray):
+        from jax.experimental import multihost_utils
+
+        sh_idx = NamedSharding(self.mesh, P(AXIS_BATCH, AXIS_KMERS, None))
+        sh_mask = NamedSharding(self.mesh, P(AXIS_BATCH, AXIS_KMERS))
+        idx_g = jax.make_array_from_process_local_data(
+            sh_idx, _slice_for_process(pidx, self.mesh, (AXIS_BATCH, AXIS_KMERS))
+        )
+        mask_g = jax.make_array_from_process_local_data(
+            sh_mask, _slice_for_process(pmask, self.mesh, (AXIS_BATCH, AXIS_KMERS))
+        )
+        counts, exact = self._step(self.words, idx_g, mask_g)
+        # result assembly: replicate to every process, host 0 reads it
+        counts = multihost_utils.process_allgather(counts, tiled=True)
+        exact = multihost_utils.process_allgather(exact, tiled=True)
+        return np.asarray(counts), np.asarray(exact)
+
+    # -- host 0 ----------------------------------------------------------
+
+    def query(self, idx: np.ndarray, mask: np.ndarray):
+        """Dispatch one padded query batch from host 0: broadcast the
+        shapes + arrays, run the step everywhere, assemble locally."""
+        from jax.experimental import multihost_utils
+
+        b, k, _ = idx.shape
+        pidx, pmask = self._pad(idx, mask)
+        hdr = np.array([OP_QUERY, pidx.shape[0], pidx.shape[1]], np.int32)
+        multihost_utils.broadcast_one_to_all(hdr)
+        pidx = np.asarray(multihost_utils.broadcast_one_to_all(pidx))
+        pmask = np.asarray(multihost_utils.broadcast_one_to_all(pmask))
+        counts, exact = self._run(pidx, pmask)
+        return counts[:b], exact[:b]
+
+    def stop(self) -> None:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.broadcast_one_to_all(np.array([OP_STOP, 0, 0], np.int32))
+
+    # -- workers -----------------------------------------------------------
+
+    def run_worker_loop(self) -> None:
+        """Lockstep execution on processes > 0: receive header + arrays
+        from host 0, run the identical step, repeat until OP_STOP."""
+        from jax.experimental import multihost_utils
+
+        while True:
+            hdr = np.asarray(
+                multihost_utils.broadcast_one_to_all(
+                    np.zeros(3, np.int32)
+                )
+            )
+            if hdr[0] == OP_STOP:
+                return
+            bb, kb = int(hdr[1]), int(hdr[2])
+            pidx = np.asarray(
+                multihost_utils.broadcast_one_to_all(
+                    np.zeros((bb, kb, self.h), np.int32)
+                )
+            )
+            pmask = np.asarray(
+                multihost_utils.broadcast_one_to_all(
+                    np.zeros((bb, kb), bool)
+                )
+            )
+            self._run(pidx, pmask)
+
+
+def _slice_for_process(arr: np.ndarray, mesh, axes) -> np.ndarray:
+    """This process's block of an array sharded over ``axes`` (leading
+    dims of ``arr`` in order)."""
+    out = arr
+    for dim, axis in enumerate(axes):
+        n = mesh.shape[axis]
+        coords = sorted(
+            {
+                idx[_axis_pos(mesh, axis)]
+                for idx, dev in np.ndenumerate(mesh.devices)
+                if dev.process_index == jax.process_index()
+            }
+        )
+        size = arr.shape[dim] // n
+        blocks = [
+            np.take(out, range(c * size, (c + 1) * size), axis=dim)
+            for c in coords
+        ]
+        out = np.concatenate(blocks, axis=dim)
+    return out
+
+
+def _axis_pos(mesh, axis) -> int:
+    return list(mesh.axis_names).index(axis)

@@ -1,0 +1,92 @@
+"""Subprocess entry for the multi-process distributed test.
+
+Each process (host) runs this symmetric program:
+  * initialize jax.distributed against a localhost coordinator,
+  * build its column shard of a deterministic matrix,
+  * host 0 dispatches query batches and prints results as JSON;
+    workers run the lockstep loop.
+
+Invoked by tests/test_distributed.py; also a usage model for real
+multi-host deployment (swap the CPU emulation env for TPU hosts).
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    process_id = int(sys.argv[1])
+    num_processes = int(sys.argv[2])
+    port = sys.argv[3]
+    local_devices = int(sys.argv[4])
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=%d" % local_devices
+    )
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from bigsi_tpu.parallel.distributed import (
+        DistributedQueryService,
+        initialize,
+        make_global_mesh,
+    )
+
+    initialize(
+        coordinator_address="127.0.0.1:%s" % port,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    n_global = len(jax.devices())
+    assert n_global == num_processes * local_devices
+
+    # deterministic matrix: every process derives the same full matrix
+    # and contributes only its own columns
+    m, n_samples, h = 4096, 96, 3
+    w = -(-n_samples // 32)
+    rng = np.random.default_rng(42)
+    words = rng.integers(0, 2 ** 32, size=(m, w), dtype=np.uint64).astype(
+        np.uint32
+    )
+
+    mesh = make_global_mesh(axis_sizes=(2, 1, n_global // 2))
+    service = DistributedQueryService(
+        words, mesh, m=m, h=h, num_samples=n_samples
+    )
+
+    if process_id == 0:
+        qrng = np.random.default_rng(7)
+        for b, k in ((4, 32), (2, 48)):
+            idx = qrng.integers(0, m, size=(b, k, h)).astype(np.int32)
+            mask = qrng.random((b, k)) < 0.9
+            counts, exact = service.query(idx, mask)
+            print(
+                json.dumps(
+                    {
+                        "b": b,
+                        "k": k,
+                        "counts_sum": int(counts.sum()),
+                        "counts_head": counts[0, :8].tolist(),
+                        "exact_head": exact[0, :2].tolist(),
+                        "idx_digest": int(idx.sum()),
+                        "mask_digest": int(mask.sum()),
+                    }
+                ),
+                flush=True,
+            )
+        service.stop()
+    else:
+        service.run_worker_loop()
+    print("PROC_OK %d" % process_id, flush=True)
+
+
+if __name__ == "__main__":
+    main()

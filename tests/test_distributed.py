@@ -1,0 +1,107 @@
+"""Multi-host distribution test: 2 processes x 2 virtual CPU devices.
+
+Emulates SURVEY §5.8's multi-host story without hardware:
+``jax.distributed.initialize`` against a localhost coordinator, the
+sample axis of the mesh spanning "hosts", query broadcast from host 0
+(``broadcast_one_to_all``), lockstep worker execution, host-0 result
+assembly — the same code path a TPU pod deployment takes.  Results are
+checked against a single-process numpy oracle.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(__file__)
+WORKER = os.path.join(HERE, "distributed_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _oracle(words, idx, mask):
+    """counts + exact from first principles."""
+    m, w = words.shape
+    b, k, h = idx.shape
+    # bit n of word j = sample 32*j + n (LSB-first within the word)
+    cols = np.zeros((m, w * 32), dtype=np.uint8)
+    for j in range(w):
+        for n in range(32):
+            cols[:, 32 * j + n] = (words[:, j] >> n) & 1
+    counts = np.zeros((b, w * 32), dtype=np.int64)
+    exact = np.ones((b, w * 32), dtype=bool)
+    for i in range(b):
+        for q in range(k):
+            presence = cols[idx[i, q, 0]]
+            for j in range(1, h):
+                presence = presence & cols[idx[i, q, j]]
+            if mask[i, q]:
+                counts[i] += presence
+                exact[i] &= presence.astype(bool)
+    return counts, exact
+
+
+def test_two_process_distributed_query():
+    port = _free_port()
+    num_processes, local_devices = 2, 2
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(num_processes), str(port),
+             str(local_devices)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            text=True,
+        )
+        for pid in range(num_processes)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, "worker failed:\n%s\n%s" % (out, err[-2000:])
+        assert "PROC_OK" in out
+
+    results = [
+        json.loads(line)
+        for line in outs[0][1].splitlines()
+        if line.startswith("{")
+    ]
+    assert len(results) == 2
+
+    # reproduce the worker's deterministic matrix + queries, oracle-check
+    m, n_samples, h = 4096, 96, 3
+    w = -(-n_samples // 32)
+    rng = np.random.default_rng(42)
+    words = rng.integers(0, 2 ** 32, size=(m, w), dtype=np.uint64).astype(
+        np.uint32
+    )
+    qrng = np.random.default_rng(7)
+    for rec, (b, k) in zip(results, ((4, 32), (2, 48))):
+        idx = qrng.integers(0, m, size=(b, k, h)).astype(np.int32)
+        mask = qrng.random((b, k)) < 0.9
+        assert rec["idx_digest"] == int(idx.sum())
+        assert rec["mask_digest"] == int(mask.sum())
+        counts, exact = _oracle(words, idx, mask)
+        assert rec["b"] == b and rec["k"] == k
+        assert rec["counts_sum"] == int(counts.sum())
+        assert rec["counts_head"] == counts[0, :8].tolist()
+        # exact words: pack oracle bools LSB-first
+        packed0 = 0
+        for n in range(32):
+            packed0 |= int(exact[0, n]) << n
+        packed1 = 0
+        for n in range(32):
+            packed1 |= int(exact[0, 32 + n]) << n
+        assert rec["exact_head"] == [packed0, packed1]
