@@ -53,6 +53,10 @@ def _tmp_config(config: dict, i: int) -> dict:
 
 
 def build(config: dict, bloomfilter_filepaths, samples, max_memory=None) -> dict:
+    if config.get("low_mem_build") and len(bloomfilter_filepaths) > SHARD_GROUP:
+        # very large N: the fd- and memory-bounded sharded builder
+        # subsumes memory-capped chunking (no merge passes needed)
+        return build_sharded(config, bloomfilter_filepaths, samples)
     if max_memory is None:
         chunk_size, num_chunks = len(bloomfilter_filepaths), 1
     else:
@@ -81,3 +85,88 @@ def build_main(config: dict, bloomfilter_filepaths, samples) -> BIGSI:
         load_bloomfilter(f, config.get("m")) for f in bloomfilter_filepaths
     ]
     return BIGSI.build(config, bloomfilters, samples)
+
+
+# At >= 100k samples, holding every .bloom mmap open exhausts the fd
+# limit; the sharded builder processes fd-bounded column groups — the
+# same shape a multi-host build takes (SURVEY §7.4: each host transposes
+# its bloom subset into a column shard; shards column-concatenate).
+SHARD_GROUP = 512  # samples per column shard (multiple of 32)
+
+
+def build_sharded(config: dict, bloom_paths, samples) -> dict:
+    """Streamed, fd- and memory-bounded build for very large N.
+
+    Pass 1: for each group of SHARD_GROUP blooms, stream-transpose its
+    column shard to ``shard_<g>.bin`` (uint32[m, group/32], row-major),
+    closing the blooms after the group.  Pass 2: concatenate the shards
+    along the word axis chunk-of-rows at a time into ``rows.bin`` and
+    register it with ``adopt_rows``.  Peak RAM is one transpose block +
+    one merge chunk; open fds peak at max(SHARD_GROUP, num_shards).
+    """
+    import os
+
+    import numpy as np
+
+    from bigsi_tpu.graph.metadata import SampleMetadata
+    from bigsi_tpu.index.signature import (
+        BLOOMFILTER_SIZE_KEY,
+        LAYOUT_KEY,
+        NUM_HASH_FUNCTS_KEY,
+    )
+    from bigsi_tpu.matrix.bitmatrix import (
+        _padded_words,
+        transpose_blooms_to_file,
+    )
+    from bigsi_tpu.storage import get_storage
+    from bigsi_tpu.utils.profiling import phase
+
+    n = len(samples)
+    m = config["m"]
+    storage = get_storage(config)
+    if not hasattr(storage, "rows_path"):
+        raise ValueError("sharded build needs a directory-backed index store")
+    rows_path = storage.rows_path()
+    shard_paths = []
+    with phase("build.shards", log_level=logging.INFO):
+        for g0 in range(0, n, SHARD_GROUP):
+            g1 = min(g0 + SHARD_GROUP, n)
+            blooms = [
+                load_bloomfilter(p, m) for p in bloom_paths[g0:g1]
+            ]
+            sp = rows_path + ".shard%d" % (g0 // SHARD_GROUP)
+            transpose_blooms_to_file(blooms, m, sp, lane_words=1)
+            shard_paths.append(sp)
+            del blooms  # munmap the group before opening the next
+
+    with phase("build.shard_merge", log_level=logging.INFO):
+        w_final = _padded_words(n)
+        shard_w = [
+            os.path.getsize(sp) // (4 * m) for sp in shard_paths
+        ]
+        maps = [
+            np.memmap(sp, dtype=np.uint32, mode="r", shape=(m, w))
+            for sp, w in zip(shard_paths, shard_w)
+        ]
+        chunk = max(1024, (1 << 28) // (4 * w_final))
+        with open(rows_path + ".tmp", "wb") as f:
+            for r0 in range(0, m, chunk):
+                r1 = min(r0 + chunk, m)
+                block = np.zeros((r1 - r0, w_final), dtype=np.uint32)
+                w0 = 0
+                for mm, w in zip(maps, shard_w):
+                    block[:, w0:w0 + w] = mm[r0:r1]
+                    w0 += w
+                block.tofile(f)
+        del maps
+        os.replace(rows_path + ".tmp", rows_path)
+        for sp in shard_paths:
+            os.unlink(sp)
+
+    storage.kv.set_integer(BLOOMFILTER_SIZE_KEY, m)
+    storage.kv.set_integer(NUM_HASH_FUNCTS_KEY, config["h"])
+    storage.kv.set_string(LAYOUT_KEY, config.get("layout", "classic"))
+    SampleMetadata(storage.kv).add_samples(samples)
+    storage.adopt_rows(num_rows=m, num_words=w_final, num_cols=n)
+    storage.close()
+    return {"result": "success"}

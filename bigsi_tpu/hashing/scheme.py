@@ -17,10 +17,24 @@
   query k-mers usually share their minimizer, so their tiles come in
   runs of ~6: the device kernel fetches each distinct tile once per
   run, cutting the (issue-rate-bound) HBM fetch count another ~6x
-  below ``blocked``.  FPR trade-off: tile occupancy becomes correlated
-  (all k-mers of a minimizer run land in one tile), which costs a
-  modest FPR increase at equal m/h — size m ~10-20% larger or use h+1
-  to compensate.
+  below ``blocked``.
+
+FPR, MEASURED (scripts/fpr_calibration.py, m=2e6, n_kmers=2e5, h=3,
+k=31, density 0.25 — tests/test_fpr_calibration.py asserts the
+ordering at a smaller scale):
+
+| layout    | background FPR | near-miss FPR (1-SNP neighbors) |
+|-----------|----------------|---------------------------------|
+| classic   | 0.0177         | 0.0179                          |
+| blocked   | 0.0292 (1.65x) | 0.0282 (1.58x)                  |
+| minimizer | 0.0295 (1.66x) | 0.0327 (1.83x)                  |
+
+Most of the penalty is the BLOCKED-Bloom cost (a sample's block is
+just 32 bits, so 3 hashes collide more); the minimizer's correlated
+tile occupancy adds ~1.16x on top, and only for near-miss queries
+(random k-mers pick tiles independently of the indexed set).  Equal
+near-miss FPR with classic needs m x1.5 (measured; vs blocked,
+~x1.15-1.2).  An index-wide build-time trade recorded in the manifest.
 
 The scheme is an index-wide property chosen at build time
 (``config["layout"]``, default classic), persisted in the manifest;

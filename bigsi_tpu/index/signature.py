@@ -86,6 +86,26 @@ class KmerSignatureIndex:
         storage.kv.set_string(LAYOUT_KEY, layout)
         from bigsi_tpu.utils.profiling import phase
 
+        if lowmem and hasattr(storage, "rows_path"):
+            # streamed build (config low_mem_build): transpose chunks
+            # append straight to rows.bin — peak RAM is one chunk block,
+            # never the [m, W] matrix (the reference's chunked build is
+            # broken, bigsi/cmds/build.py:50,79-85; its dense transpose
+            # is the scaling wall, bigsi/matrix/transpose.py:33-43)
+            from bigsi_tpu.matrix.bitmatrix import transpose_blooms_to_file
+
+            with phase("build.transpose_streamed"):
+                w = transpose_blooms_to_file(
+                    bloomfilters, bloomfilter_size, storage.rows_path()
+                )
+            storage.adopt_rows(
+                num_rows=bloomfilter_size,
+                num_words=w,
+                num_cols=len(bloomfilters),
+            )
+            storage.sync()
+            return cls(storage)
+
         with phase("build.transpose"):
             words = transpose_blooms(bloomfilters, bloomfilter_size)
         matrix = BitSliceMatrix(words, num_cols=len(bloomfilters))

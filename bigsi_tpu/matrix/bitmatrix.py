@@ -68,6 +68,45 @@ def transpose_blooms(
     return out
 
 
+def transpose_blooms_to_file(
+    blooms,
+    num_rows: int,
+    path: str,
+    row_chunk: int = DEFAULT_ROW_CHUNK,
+    lane_words: int = LANE_WORDS,
+) -> int:
+    """Stream the bitslice transpose straight into a ``rows.bin`` file.
+
+    Same chunking as :func:`transpose_blooms` but rows append to
+    ``path`` instead of a RAM matrix, so peak memory is
+    ``N * row_chunk`` bytes for ANY index size — the 450k-sample
+    matrix (~1.4 TB) never exists in RAM on any host.  Returns the
+    padded word count W (callers register the file with
+    ``IndexStore.adopt_rows``).
+    """
+    n = len(blooms)
+    w = _padded_words(n, lane_words)
+    # bound the chunk block (n * row_chunk bytes) to ~1 GiB at any N
+    row_chunk = min(row_chunk, max(1024, (1 << 30) // max(n, 1)))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        for r0 in range(0, num_rows, row_chunk):
+            r1 = min(r0 + row_chunk, num_rows)
+            block = np.empty((n, r1 - r0), dtype=np.uint8)
+            for i, b in enumerate(blooms):
+                block[i] = b[r0:r1]
+            packed = pack_bits_lsb(np.ascontiguousarray(block.T))
+            if packed.shape[1] != w:
+                grown = np.zeros((packed.shape[0], w), dtype=np.uint32)
+                grown[:, : packed.shape[1]] = packed
+                packed = grown
+            packed.tofile(f)
+    import os
+
+    os.replace(tmp, path)
+    return w
+
+
 class BitSliceMatrix:
     """Dense packed bit matrix with the reference ``BitMatrix`` API shape."""
 

@@ -104,6 +104,12 @@ class IndexStore(BaseIndexStore):
     def _rows_path(self) -> str:
         return os.path.join(self.directory, ROWS_BIN)
 
+    def rows_path(self) -> str:
+        """Target path for bulk builders that stream rows.bin directly
+        (register the result with :meth:`adopt_rows`)."""
+        os.makedirs(self.directory, exist_ok=True)
+        return self._rows_path()
+
     def has_index(self) -> bool:
         return self._manifest is not None and "num_rows" in self._manifest
 
