@@ -43,8 +43,10 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and os.path.exists(
-        os.path.join(_NATIVE_DIR, "bigsi_native.cpp")
+    src = os.path.join(_NATIVE_DIR, "bigsi_native.cpp")
+    if os.path.exists(src) and (
+        not os.path.exists(_LIB_PATH)
+        or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
     ):
         _build()
     if os.path.exists(_LIB_PATH):
@@ -56,6 +58,7 @@ def _load():
                 ctypes.c_int,
                 ctypes.c_uint32,
             ]
+            lib.grouped_streams.restype = ctypes.c_int64
             _lib = lib
         except OSError as e:
             logger.warning("could not load native lib: %s", e)
@@ -126,6 +129,34 @@ def transpose_blooms(blooms, num_rows: int, w_out: int) -> np.ndarray | None:
         ctypes.c_int64(w_out),
     )
     return out
+
+
+def grouped_streams(
+    tile: np.ndarray, smask: np.ndarray, r: int
+) -> tuple[np.ndarray, np.ndarray, int] | None:
+    """Native fast path for ops.lookup.build_grouped_streams.
+
+    Returns (utile int32[B, K], gmask uint32[B, K, r], u_max) with only
+    the first u_max entry columns populated, or None without the lib.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    tile = np.ascontiguousarray(tile, dtype=np.int32)
+    smask = np.ascontiguousarray(smask, dtype=np.uint32)
+    b, k = tile.shape
+    utile = np.zeros((b, k), dtype=np.int32)
+    gmask = np.zeros((b, k, r), dtype=np.uint32)
+    u_max = lib.grouped_streams(
+        _ptr(tile),
+        _ptr(smask),
+        ctypes.c_int64(b),
+        ctypes.c_int64(k),
+        ctypes.c_int(r),
+        _ptr(utile),
+        _ptr(gmask),
+    )
+    return utile, gmask, int(u_max)
 
 
 def decode_cortex_kmers(packed: np.ndarray, k: int) -> np.ndarray | None:

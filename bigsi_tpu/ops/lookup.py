@@ -211,10 +211,32 @@ def build_grouped_streams(
     third array ``uslot int32[B, U, r, h]`` is returned with the same
     scatter (padding entries hold 0) — used by selection paths that
     need the h row ids separately rather than as a bit mask.
+
+    This sits on the serving critical path (numpy cost ~8 ms per
+    [256, 512] batch vs ~1.4 ms device time), so a C fast path handles
+    the no-``slots`` form (native/bigsi_native.cpp:grouped_streams,
+    parity-tested in tests/test_native.py).
     """
     import numpy as np
 
     b, k = tile.shape
+    if slots is None and b * k:
+        from bigsi_tpu import native
+
+        fast = native.grouped_streams(tile, smask, r)
+        if fast is not None:
+            utile_full, gmask_full, u_max = fast
+            u = max(u_bucket, ((u_max + u_bucket - 1) // u_bucket) * u_bucket)
+            if u <= k:
+                return (
+                    np.ascontiguousarray(utile_full[:, :u]),
+                    np.ascontiguousarray(gmask_full[:, :u]),
+                )
+            utile_pad = np.zeros((b, u), dtype=np.int32)
+            gmask_pad = np.zeros((b, u, r), dtype=np.uint32)
+            utile_pad[:, :k] = utile_full
+            gmask_pad[:, :k] = gmask_full
+            return utile_pad, gmask_pad
     valid = smask != 0
     tt = np.where(valid, tile, -1)
     new = np.ones((b, k), dtype=bool)

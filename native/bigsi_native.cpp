@@ -172,4 +172,45 @@ void and_count_rows(const uint32_t* matrix, int64_t w,
   }
 }
 
+// Grouped (tile-dedup) stream prep for the minimizer query path —
+// the serving hot path's host side (bigsi_tpu/ops/lookup.py
+// build_grouped_streams; the numpy version costs ~8 ms per [256,512]
+// batch vs ~1.4 ms of device time).  Semantics are identical:
+// consecutive equal tiles merge into one entry; runs longer than r
+// spill into fresh entries; smask==0 kmers are padding.  utile/gmask
+// must be zero-initialized with capacity [B,K] / [B,K,r]; returns the
+// max entry count over the batch (callers bucket it).
+int64_t grouped_streams(const int32_t* tile, const uint32_t* smask,
+                        int64_t B, int64_t K, int r,
+                        int32_t* utile, uint32_t* gmask) {
+  int64_t u_max = 0;
+  for (int64_t b = 0; b < B; b++) {
+    const int32_t* trow = tile + b * K;
+    const uint32_t* srow = smask + b * K;
+    int32_t* urow = utile + b * K;
+    uint32_t* grow = gmask + b * K * r;
+    int64_t entry = -1;
+    int32_t cur_tile = -1;
+    int slot = r;  // force a new entry on the first valid kmer
+    bool in_run = false;
+    for (int64_t i = 0; i < K; i++) {
+      if (srow[i] == 0) {
+        in_run = false;  // a pad breaks the run
+        continue;
+      }
+      if (!in_run || trow[i] != cur_tile || slot == r) {
+        entry++;
+        cur_tile = trow[i];
+        urow[entry] = cur_tile;
+        slot = 0;
+        in_run = true;
+      }
+      grow[entry * r + slot] = srow[i];
+      slot++;
+    }
+    if (entry + 1 > u_max) u_max = entry + 1;
+  }
+  return u_max;
+}
+
 }  // extern "C"

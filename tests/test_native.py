@@ -89,3 +89,44 @@ def test_native_and_count_parity():
         anded = anded & rows[:, j]
     expect = unpack_bits_lsb(anded).sum(axis=0)
     assert np.array_equal(counts, expect)
+
+
+def test_grouped_streams_native_parity():
+    """C grouped_streams must match the numpy implementation exactly,
+    including pads, run breaks, spills, and bucket padding."""
+    import numpy as np
+
+    from bigsi_tpu import native
+    from bigsi_tpu.ops import lookup
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(17)
+    for b, k, run in ((4, 64, 6), (3, 100, 6), (2, 8, 6), (5, 512, 12)):
+        nt = (b * k + run - 1) // run
+        base = rng.integers(0, 1000, size=nt).astype(np.int32)
+        tile = np.repeat(base, run)[: b * k].reshape(b, k)
+        smask = rng.integers(1, 2 ** 32, size=(b, k), dtype=np.uint64).astype(
+            np.uint32
+        )
+        # sprinkle pads: trailing, interior, whole-row
+        smask[:, -3:] = 0
+        smask[0, k // 2] = 0
+        if b > 2:
+            smask[2, :] = 0
+
+        def numpy_version():
+            orig = native.grouped_streams
+            native.grouped_streams = lambda *a, **kw: None
+            try:
+                return lookup.build_grouped_streams(tile, smask, r=run)
+            finally:
+                native.grouped_streams = orig
+
+        un, gn = numpy_version()
+        uc, gc = lookup.build_grouped_streams(tile, smask, r=run)
+        assert np.array_equal(un, uc), (b, k, run)
+        assert np.array_equal(gn, gc), (b, k, run)
