@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--density", type=float, default=0.5)
     ap.add_argument("--device", action="store_true",
                     help="also time the grouped step on the accelerator")
+    ap.add_argument("--device-samples", type=int, default=50_000,
+                    help="sample width for the on-chip timing (a 100k x "
+                         "m=1e6 matrix is 12.5 GB and OOMs one v5e's 16 GB "
+                         "HBM -- the 100k config is multi-chip by design)")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -139,7 +143,8 @@ def main():
         import jax.numpy as jnp
         from bigsi_tpu.ops.lookup import build_grouped_streams, grouped_counts
 
-        W = ((n + 31) // 32 + 7) // 8 * 8
+        n_dev = min(n, args.device_samples)
+        W = ((n_dev + 31) // 32 + 7) // 8 * 8
         T = m // 32
         B, K, H, RUN = 64, 512, 3, 6
         dev = jax.devices()[0]
