@@ -295,14 +295,14 @@ class DeviceEngine:
 
     def _use_fused(self) -> bool:
         """Fused Pallas path: minimizer layout, exactly 32 words per
-        bitslice row (1024-sample shard), on a real accelerator (the
-        interpret-mode fallback is far slower than blocked XLA).
+        bitslice row (1024-sample shard), on a real accelerator.
 
-        OPT-IN via BIGSI_TPU_FUSED_KERNEL=1: the kernel is correct in
-        interpret mode but has been observed to hang the chip through
-        this environment's relay (a hung Pallas program wedges the whole
-        device); the blocked XLA path is the safe default until the
-        kernel is proven on the target hardware.
+        OPT-IN via BIGSI_TPU_FUSED_KERNEL=1 and NOT recommended: round 2
+        validated the kernel BIT-EXACT on a real v5e
+        (scripts/verify_fused_onchip.py) but measured it ~15x slower
+        than the grouped XLA path — the per-k-mer serial consume loop
+        is issue-bound (docs/DESIGN.md "grouped-path ceiling" table).
+        Kept for hardware experimentation only.
         """
         import os
 
