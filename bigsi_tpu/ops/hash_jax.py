@@ -76,18 +76,29 @@ def canonicalize_jax(kmers: jax.Array) -> jax.Array:
     the reference's ``canonical`` (``bigsi/utils/fncts.py:47-54``) and
     of ``bigsi_tpu.kmers.canonicalize_kmer_matrix`` (the host oracle).
     Non-ACGT bytes map to themselves under complement.
+
+    Gather-free on purpose: table lookups (``comp[kmers]``) and
+    take_along_axis lower to per-element XLA gathers that cost ~25x the
+    arithmetic on TPU (bench.py's full-pipeline detail caught this);
+    the complement is a select chain and the lexicographic compare a
+    static fold over the k byte positions.
     """
-    comp = jnp.arange(256, dtype=jnp.uint8)
-    for a, b in zip(b"ACGT", b"TGCA"):
-        comp = comp.at[a].set(b)
-    rc = comp[kmers[..., ::-1]]
-    # lexicographic row compare: first differing byte decides
-    diff = kmers != rc
-    first = jnp.argmax(diff, axis=-1)  # 0 if equal rows (then either works)
-    kv = jnp.take_along_axis(kmers, first[..., None], axis=-1)[..., 0]
-    rv = jnp.take_along_axis(rc, first[..., None], axis=-1)[..., 0]
-    take_rc = rv < kv
-    return jnp.where(take_rc[..., None], rc, kmers)
+    def complement(b):
+        out = b
+        for src, dst in zip(b"ACGT", b"TGCA"):
+            out = jnp.where(b == jnp.uint8(src), jnp.uint8(dst), out)
+        return out
+
+    rc = complement(kmers[..., ::-1])
+    k = kmers.shape[-1]
+    lt = jnp.zeros(kmers.shape[:-1], dtype=bool)   # rc < kmer so far
+    eq = jnp.ones(kmers.shape[:-1], dtype=bool)    # equal prefix so far
+    for j in range(k):
+        bj = kmers[..., j]
+        rj = rc[..., j]
+        lt = lt | (eq & (rj < bj))
+        eq = eq & (rj == bj)
+    return jnp.where(lt[..., None], rc, kmers)
 
 
 def row_indices_jax(kmers: jax.Array, h: int, m: int) -> jax.Array:

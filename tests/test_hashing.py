@@ -85,3 +85,25 @@ def test_row_indices_jax_matches_host():
     want = hash_kmer_matrix(mats, 3, 25_000_000)
     got = np.asarray(row_indices_jax(jnp.asarray(mats), 3, 25_000_000))
     assert np.array_equal(got.astype(np.int64), want)
+
+
+def test_canonicalize_jax_matches_host_oracle():
+    """Device canonicalization (gather-free select-chain form) must be
+    byte-identical with the host oracle for random k-mers, reverse-
+    complement palindromes, and rows containing non-ACGT bytes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bigsi_tpu.kmers import canonicalize_kmer_matrix
+    from bigsi_tpu.ops.hash_jax import canonicalize_jax
+
+    rng = np.random.default_rng(21)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for k in (5, 31):
+        kmers = bases[rng.integers(0, 4, size=(257, k))]
+        kmers[7, 0] = ord("N")  # non-ACGT maps to itself
+        if k == 5:
+            kmers[3] = np.frombuffer(b"ACGTN", dtype=np.uint8)
+        want = canonicalize_kmer_matrix(kmers)
+        got = np.asarray(canonicalize_jax(jnp.asarray(kmers)))
+        assert np.array_equal(got, want), k
