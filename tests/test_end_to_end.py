@@ -194,3 +194,38 @@ def test_metadata_merge_duplicate_suffix():
     assert bigsi1.colour_to_sample(1) == "a_duplicate_in_merge"
     bigsi1.delete()
     bigsi2.delete()
+
+
+def test_metadata_survives_reopen_with_deletions(tmp_path):
+    """The array-backed SampleMetadata persists through the manifest KV:
+    reopening from disk must restore colour order, the D3L3T3D
+    sentinel, and the reserved (deleted) names -- re-adding a deleted
+    name still raises (reference semantics, bigsi/graph/metadata.py)."""
+    import pytest
+
+    from bigsi_tpu.graph import BIGSI
+    from bigsi_tpu.kmers import seq_to_kmers
+
+    config = {
+        "k": 31,
+        "m": 20000,
+        "h": 3,
+        "storage-engine": "bigsi-tpu",
+        "storage-config": {"filename": str(tmp_path / "idx")},
+    }
+    seqs = ["".join("ACGT"[(i * 7 + j) % 4] for j in range(60)) + "A" * 31
+            for i in range(3)]
+    blooms = [BIGSI.bloom(config, seq_to_kmers(s, 31)) for s in seqs]
+    idx = BIGSI.build(config, blooms, ["s0", "s1", "s2"])
+    idx.delete_sample("s1")
+    idx.storage.close()
+
+    reopened = BIGSI(config)
+    assert reopened.sample_names() == ["s0", "D3L3T3D", "s2"]
+    assert reopened.sample_to_colour("s1") is None
+    assert reopened.sample_to_colour("s2") == 2
+    assert reopened.colour_to_sample(0) == "s0"
+    with pytest.raises(ValueError):
+        reopened.add_sample("s1")  # deleted names stay reserved
+    with pytest.raises(ValueError):
+        reopened.add_sample("s0")
