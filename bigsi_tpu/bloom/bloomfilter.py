@@ -19,7 +19,7 @@ from bigsi_tpu.matrix.packing import bloom_bytes_to_bools, bools_to_bloom_bytes
 
 def build_bloom_from_kmer_matrix(
     kmers: np.ndarray, m: int, h: int, out: np.ndarray | None = None,
-    layout: str = "classic",
+    layout: str = "classic", tile_rows: int = 32,
 ) -> np.ndarray:
     """Set the Bloom bits for an ASCII k-mer matrix [K, k] -> bool [m]."""
     import os
@@ -40,7 +40,7 @@ def build_bloom_from_kmer_matrix(
                 return out
         from bigsi_tpu.hashing.scheme import row_indices
 
-        idx = row_indices(kmers, h, m, layout)
+        idx = row_indices(kmers, h, m, layout, tile_rows)
         out[idx.ravel()] = True
     return out
 
@@ -48,10 +48,11 @@ def build_bloom_from_kmer_matrix(
 class BloomFilter:
     """API-compatible with the reference ``BloomFilter(m, h)``."""
 
-    def __init__(self, m: int, h: int, layout: str = "classic"):
+    def __init__(self, m: int, h: int, layout: str = "classic", tile_rows: int = 32):
         self.m = int(m)
         self.h = int(h)
         self.layout = layout
+        self.tile_rows = int(tile_rows)
         self.array = np.zeros(self.m, dtype=bool)
 
     @property
@@ -62,7 +63,10 @@ class BloomFilter:
         if self.layout != "classic":
             from bigsi_tpu.hashing.scheme import row_indices
 
-            idx = row_indices(seq_to_ascii(element)[None, :], self.h, self.m, self.layout)
+            idx = row_indices(
+                seq_to_ascii(element)[None, :], self.h, self.m,
+                self.layout, self.tile_rows,
+            )
             self.array[idx.ravel()] = True
             return
         for i in generate_hashes(element, self.h, self.m):
@@ -75,7 +79,8 @@ class BloomFilter:
             if all(len(e) == k for e in elems):
                 mat = np.stack([seq_to_ascii(e) for e in elems])
                 build_bloom_from_kmer_matrix(
-                    mat, self.m, self.h, out=self.array, layout=self.layout
+                    mat, self.m, self.h, out=self.array, layout=self.layout,
+                    tile_rows=self.tile_rows,
                 )
             else:
                 for e in elems:

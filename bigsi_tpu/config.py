@@ -20,6 +20,7 @@ from bigsi_tpu.constants import DEFAULT_CONFIG
 REQUIRED_KEYS = ("k", "m", "h")
 KNOWN_ENGINES = ("numpy", "tpu", "mesh")
 KNOWN_LAYOUTS = ("classic", "blocked", "minimizer")
+KNOWN_TILE_ROWS = (8, 16, 32, 64)
 
 
 def get_config_from_file(config_file: str | None) -> dict:
@@ -49,16 +50,31 @@ def validate_config(config: dict) -> dict:
         raise ValueError(
             "unknown layout %r (expected one of %s)" % (layout, list(KNOWN_LAYOUTS))
         )
+    tile_rows = config.get("tile-rows", 32)
+    if tile_rows not in KNOWN_TILE_ROWS:
+        raise ValueError(
+            "config key 'tile-rows' must be one of %s, got %r"
+            % (list(KNOWN_TILE_ROWS), tile_rows)
+        )
+    if layout == "classic" and "tile-rows" in config and tile_rows != 32:
+        raise ValueError("'tile-rows' only applies to blocked/minimizer layouts")
     mesh = config.get("mesh")
     if mesh is not None:
         if (
             not isinstance(mesh, (list, tuple))
-            or not 1 <= len(mesh) <= 3
+            or not 1 <= len(mesh) <= 4
             or not all(isinstance(a, int) and a >= 1 for a in mesh)
         ):
             raise ValueError(
-                "config key 'mesh' must be a list of 1-3 positive axis sizes "
-                "(d, k, s), got %r" % (mesh,)
+                "config key 'mesh' must be a list of 1-4 positive axis sizes "
+                "(d, k, s[, r row-shards]), got %r" % (mesh,)
+            )
+        if len(mesh) > 3 and mesh[3] > 1 and layout not in (
+            "blocked", "minimizer"
+        ):
+            raise ValueError(
+                "row sharding (mesh[3] > 1) needs a tile layout "
+                "(blocked/minimizer)"
             )
     if config["k"] > 31:
         raise ValueError("k must be <= 31 (2-bit uint64 packing)")

@@ -119,6 +119,7 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             m=config["m"],
             h=config["h"],
             layout=config.get("layout", "classic"),
+            tile_rows=config.get("tile-rows", 32),
         )
         bloomfilter.update(kmers)
         return bloomfilter.bitarray
@@ -137,6 +138,7 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
                 config["h"],
                 config.get("low_mem_build", False),
                 layout=config.get("layout", "classic"),
+                tile_rows=config.get("tile-rows", 32),
             )
         storage.close()
         metrics.incr("build.samples", len(samples))
@@ -308,6 +310,7 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         assert self.num_hashes == bigsi.num_hashes
         assert self.kmer_size == bigsi.kmer_size
         assert self.layout == bigsi.layout
+        assert self.tile_rows == bigsi.tile_rows
 
     def merge(self, bigsi):
         self.__validate_merge(bigsi)
@@ -351,11 +354,14 @@ def _resolve_engine_factory(config, engine_factory):
     if engine == "mesh":
         from bigsi_tpu.parallel.sharding import MeshEngine, make_mesh
 
-        axes = config.get("mesh")  # optional (d, k, s) axis sizes
+        axes = config.get("mesh")  # optional (d, k, s[, r]) axis sizes
         if axes:
-            mesh = make_mesh(axis_sizes=tuple(axes))
-            return lambda matrix, layout="classic": MeshEngine(
-                matrix, mesh=mesh, layout=layout
+            axes = tuple(axes)
+            row_shards = axes[3] if len(axes) > 3 else 1
+            mesh = make_mesh(axis_sizes=axes[:3])
+            return lambda matrix, layout="classic", tile_rows=32: MeshEngine(
+                matrix, mesh=mesh, layout=layout, tile_rows=tile_rows,
+                row_shards=row_shards,
             )
         return MeshEngine
     raise ValueError("unknown engine %r" % engine)

@@ -61,10 +61,24 @@ _COMP_TABLE = np.arange(256, dtype=np.uint8)
 for _a, _b in zip(b"ACGT", b"TGCA"):
     _COMP_TABLE[_a] = _b
 
-# Tile height in bitslice rows.  32 rows x 32-bit words means a tile is
-# a whole number of (8, 128) uint32 device tiles for any fat-packing
-# factor G in {1, 2, 4, ..., 128//8}.
+# Default tile height in bitslice rows.  32 rows x 32-bit words means a
+# tile is a whole number of (8, 128) uint32 device tiles for any
+# fat-packing factor G in {1, 2, 4, ..., 128//8}.
+#
+# ``tile_rows`` is a build-time index parameter (config "tile-rows",
+# persisted in the manifest).  Smaller tiles cost FPR (a sample's block
+# is tile_rows bits) but speed queries: 16-row tiles halve both the
+# gathered bytes and the presence-expansion work — measured 2.8x end to
+# end on chip at equal m (scripts/probe_expansion.py v1 vs v3).
+# Measured FPR at m=2e6, 2e5 kmers, h=3 (scripts/fpr_calibration.py
+# --tile-rows 16 --premium): tile_rows=32 minimizer bg 0.0286 /
+# near-miss 0.0327 (m premium 1.5x vs classic); tile_rows=16 bg 0.0394 /
+# near-miss 0.0486 (m premium 2.0x vs classic, i.e. ~1.33x more HBM
+# than tile_rows=32).  The query speedup SURVIVES equal-FPR
+# normalization: fetch count, expansion work, and popcount work are all
+# independent of m — only the index footprint grows.
 TILE_ROWS = 32
+KNOWN_TILE_ROWS = (8, 16, 32, 64)
 
 
 def _hashes(kmers: np.ndarray, seeds) -> np.ndarray:
@@ -72,7 +86,8 @@ def _hashes(kmers: np.ndarray, seeds) -> np.ndarray:
 
 
 def row_indices(
-    kmers: np.ndarray, h: int, m: int, layout: str = CLASSIC
+    kmers: np.ndarray, h: int, m: int, layout: str = CLASSIC,
+    tile_rows: int = TILE_ROWS,
 ) -> np.ndarray:
     """Canonical ASCII k-mer matrix [K, k] -> bloom row indices int64 [K, h]."""
     if layout == CLASSIC:
@@ -80,22 +95,29 @@ def row_indices(
         from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
 
         return hash_kmer_matrix(kmers, h, m)
-    num_tiles = max(1, m // TILE_ROWS)
+    num_tiles = max(1, m // tile_rows)
     if layout == MINIMIZER:
         tile = minimizer_tiles(kmers, num_tiles)  # [K]
-        slots = np.mod(_hashes(kmers, range(h)), TILE_ROWS)  # [K, h]
-        return tile[:, None] * TILE_ROWS + slots
+        slots = np.mod(_hashes(kmers, range(h)), tile_rows)  # [K, h]
+        return tile[:, None] * tile_rows + slots
     if layout != BLOCKED:
         raise ValueError("unknown layout %r" % layout)
     hs = _hashes(kmers, range(h + 1))  # [K, h+1]
     tile = np.mod(hs[:, :1], num_tiles)  # [K, 1]
-    slots = np.mod(hs[:, 1:], TILE_ROWS)  # [K, h]
-    return tile * TILE_ROWS + slots
+    slots = np.mod(hs[:, 1:], tile_rows)  # [K, h]
+    return tile * tile_rows + slots
 
 
 def default_minimizer_s(k: int) -> int:
     """s-mer length: window w = k - s + 1 = 11 for k >= 11 (expected
-    minimizer run length ~(w+1)/2 = 6 consecutive query k-mers)."""
+    minimizer run length ~(w+1)/2 = 6 consecutive query k-mers).
+
+    Do NOT shrink s to lengthen runs: s-mers must be effectively unique
+    in real data or popular minimizers crowd tiles.  Measured (m=2e6,
+    2e5 kmers, h=3): s=9 (w=23, runs ~12) collapses the distinct-
+    minimizer count and drives background FPR from 0.03 to 0.55-0.77 —
+    catastrophically unusable.  s = k-10 = 21 keeps 4^21 possible
+    s-mers, far above any dataset's k-mer count."""
     return max(1, k - 10)
 
 
@@ -129,8 +151,8 @@ def minimizer_tiles(kmers: np.ndarray, num_tiles: int, s: int | None = None):
     return hcanon.min(axis=1).astype(np.int64) % num_tiles
 
 
-def tile_and_slots(kmers: np.ndarray, h: int, m: int):
+def tile_and_slots(kmers: np.ndarray, h: int, m: int, tile_rows: int = TILE_ROWS):
     """Blocked layout: -> (tile int64 [K], slots int64 [K, h])."""
-    num_tiles = max(1, m // TILE_ROWS)
+    num_tiles = max(1, m // tile_rows)
     hs = _hashes(kmers, range(h + 1))
-    return np.mod(hs[:, 0], num_tiles), np.mod(hs[:, 1:], TILE_ROWS)
+    return np.mod(hs[:, 0], num_tiles), np.mod(hs[:, 1:], tile_rows)

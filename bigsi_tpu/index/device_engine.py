@@ -59,23 +59,23 @@ def _counts_batch_fat(fat, row_idx, mask, g, w):
     return csa_counts(masked, axis=1)
 
 
-@jax.jit
-def _counts_batch_blocked(tiles, tile_idx, slot_mask, mask):
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def _counts_batch_blocked(tiles, tile_idx, slot_mask, mask, tile_rows):
     from bigsi_tpu.ops.lookup import blocked_counts
 
-    return blocked_counts(tiles, tile_idx, slot_mask, mask)
+    return blocked_counts(tiles, tile_idx, slot_mask, mask, tile_rows)
 
 
-@jax.jit
-def _counts_batch_grouped(tiles, utile, gmask):
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def _counts_batch_grouped(tiles, utile, gmask, tile_rows):
     from bigsi_tpu.ops.lookup import grouped_counts
 
-    return grouped_counts(tiles, utile, gmask)
+    return grouped_counts(tiles, utile, gmask, tile_rows)
 
 
-@jax.jit
-def _blocked_and(tiles, tile_idx, slot_mask):
-    return blocked_presence(tiles, tile_idx, slot_mask)
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def _blocked_and(tiles, tile_idx, slot_mask, tile_rows):
+    return blocked_presence(tiles, tile_idx, slot_mask, tile_rows)
 
 
 @jax.jit
@@ -130,29 +130,34 @@ def fat_gather(fat: jax.Array, g: int, w: int, row_idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(rows, seg, axis=1)[:, 0, :w]
 
 
-def tile_pack(words: np.ndarray) -> np.ndarray:
-    """[m, W] -> tile-major uint32[ceil(m/32), 32*W_pad] for the blocked
-    layout: one row per 32-bitslice-row tile, lane-aligned (W padded to
-    a multiple of 4 so 32*W_pad is a multiple of 128)."""
+def tile_pack(words: np.ndarray, tile_rows: int = TILE_ROWS) -> np.ndarray:
+    """[m, W] -> tile-major uint32[ceil(m/tile_rows), tile_rows*W_pad]
+    for the blocked layout: one fat row per tile, lane-aligned (W padded
+    to a multiple of 4 so tile_rows*W_pad is a multiple of 128 for
+    tile_rows >= 32; smaller tiles still land on word-aligned rows)."""
     m, w = words.shape
     wp = ((w + 3) // 4) * 4
-    mp = ((m + TILE_ROWS - 1) // TILE_ROWS) * TILE_ROWS
+    mp = ((m + tile_rows - 1) // tile_rows) * tile_rows
     if (wp, mp) != (w, m):
         grown = np.zeros((mp, wp), dtype=np.uint32)
         grown[:m, :w] = words
         words = grown
-    return np.ascontiguousarray(words.reshape(mp // TILE_ROWS, TILE_ROWS * wp))
+    return np.ascontiguousarray(words.reshape(mp // tile_rows, tile_rows * wp))
 
 
 class DeviceEngine:
-    def __init__(self, matrix: BitSliceMatrix, device=None, layout="classic"):
+    def __init__(
+        self, matrix: BitSliceMatrix, device=None, layout="classic",
+        tile_rows: int = TILE_ROWS,
+    ):
         self.matrix = matrix
         self.device = device or jax.devices()[0]
         self.layout = layout
+        self.tile_rows = tile_rows
         self.w = matrix.num_words
         if layout in ("blocked", "minimizer"):
             self.words = jax.device_put(
-                tile_pack(np.asarray(matrix.words)), self.device
+                tile_pack(np.asarray(matrix.words), tile_rows), self.device
             )
             self.g = None
         else:
@@ -169,16 +174,18 @@ class DeviceEngine:
         b = bucket_size(k)
         if self.layout in ("blocked", "minimizer"):
             # all h rows of a k-mer share one tile by construction
+            tr = self.tile_rows
             tile = np.zeros(b, dtype=np.int32)
-            tile[:k] = row_idx[:, 0] // TILE_ROWS
+            tile[:k] = row_idx[:, 0] // tr
             sm = np.zeros(b, dtype=np.uint32)
             sm[:k] = np.bitwise_or.reduce(
-                np.uint32(1) << (row_idx % TILE_ROWS).astype(np.uint32), axis=1
+                np.uint32(1) << (row_idx % tr).astype(np.uint32), axis=1
             )
             packed = _blocked_and(
                 self.words,
                 jax.device_put(tile, self.device),
                 jax.device_put(sm, self.device),
+                tr,
             )
             return _PackedQuery(packed, k)
         idx = np.zeros((b, row_idx.shape[1]), dtype=np.int32)
@@ -242,13 +249,14 @@ class DeviceEngine:
         mgrown[:orig_b] = mask
         mask = mgrown
         if self.layout in ("blocked", "minimizer"):
+            tr = self.tile_rows
             tile = np.zeros((b, kb), dtype=np.int32)
-            tile[:, :k] = row_idx[:, :, 0] // TILE_ROWS
+            tile[:, :k] = row_idx[:, :, 0] // tr
             sm = np.zeros((b, kb), dtype=np.uint32)
             sm[:, :k] = np.where(
                 mask,
                 np.bitwise_or.reduce(
-                    np.uint32(1) << (row_idx % TILE_ROWS).astype(np.uint32), axis=2
+                    np.uint32(1) << (row_idx % tr).astype(np.uint32), axis=2
                 ),
                 np.uint32(0),
             )
@@ -269,6 +277,7 @@ class DeviceEngine:
                     self.words,
                     jax.device_put(utile, self.device),
                     jax.device_put(gmask, self.device),
+                    tr,
                 )
                 return np.asarray(counts)[:orig_b, :num_cols].astype(np.int64)
             mfull = np.zeros((b, kb), dtype=bool)
@@ -278,6 +287,7 @@ class DeviceEngine:
                 jax.device_put(tile, self.device),
                 jax.device_put(sm, self.device),
                 jax.device_put(mfull, self.device),
+                tr,
             )
             return np.asarray(counts)[:orig_b, :num_cols].astype(np.int64)
         idx = np.zeros((b, kb, h), dtype=np.int32)
@@ -309,6 +319,7 @@ class DeviceEngine:
         return (
             os.environ.get("BIGSI_TPU_FUSED_KERNEL") == "1"
             and self.layout == "minimizer"
+            and self.tile_rows == 32
             and self.words.shape[1] == 32 * 32
             and self.device.platform != "cpu"
         )

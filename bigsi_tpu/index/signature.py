@@ -18,7 +18,13 @@ import logging
 
 import numpy as np
 
-from bigsi_tpu.hashing.scheme import CLASSIC, LAYOUTS, row_indices
+from bigsi_tpu.hashing.scheme import (
+    CLASSIC,
+    KNOWN_TILE_ROWS,
+    LAYOUTS,
+    TILE_ROWS as DEFAULT_TILE_ROWS,
+    row_indices,
+)
 from bigsi_tpu.index.host_engine import HostEngine
 from bigsi_tpu.kmers import (
     ascii_to_strings,
@@ -32,7 +38,7 @@ from bigsi_tpu.matrix.packing import pack_bits_lsb, unpack_bits_lsb
 logger = logging.getLogger(__name__)
 
 
-def _make_engine(factory, matrix, layout):
+def _make_engine(factory, matrix, layout, tile_rows):
     """Engines that understand hash layouts get told which one is live;
     plain row-gather engines (any layout is just absolute rows to them)
     are constructed bare."""
@@ -42,14 +48,18 @@ def _make_engine(factory, matrix, layout):
         params = inspect.signature(factory).parameters
     except (TypeError, ValueError):
         params = {}
+    kwargs = {}
     if "layout" in params:
-        return factory(matrix, layout=layout)
-    return factory(matrix)
+        kwargs["layout"] = layout
+    if "tile_rows" in params:
+        kwargs["tile_rows"] = tile_rows
+    return factory(matrix, **kwargs)
 
 
 BLOOMFILTER_SIZE_KEY = "ksi:bloomfilter_size"
 NUM_HASH_FUNCTS_KEY = "ksi:num_hashes"
 LAYOUT_KEY = "ksi:layout"
+TILE_ROWS_KEY = "ksi:tile_rows"
 
 
 class KmerSignatureIndex:
@@ -61,9 +71,15 @@ class KmerSignatureIndex:
             self.layout = storage.kv.get_string(LAYOUT_KEY)
         except KeyError:
             self.layout = CLASSIC
+        try:
+            self.tile_rows = storage.kv.get_integer(TILE_ROWS_KEY)
+        except KeyError:
+            self.tile_rows = DEFAULT_TILE_ROWS
         self.bitmatrix = storage.load_matrix()
         factory = engine_factory or HostEngine
-        self.engine = _make_engine(factory, self.bitmatrix, self.layout)
+        self.engine = _make_engine(
+            factory, self.bitmatrix, self.layout, self.tile_rows
+        )
 
     @classmethod
     def create(
@@ -74,6 +90,7 @@ class KmerSignatureIndex:
         num_hashes,
         lowmem=False,
         layout=CLASSIC,
+        tile_rows=DEFAULT_TILE_ROWS,
     ) -> "KmerSignatureIndex":
         bloomfilters = [
             bf.bitarray if hasattr(bf, "bitarray") else np.asarray(bf)
@@ -81,9 +98,15 @@ class KmerSignatureIndex:
         ]
         if layout not in LAYOUTS:
             raise ValueError("unknown layout %r" % layout)
+        if tile_rows not in KNOWN_TILE_ROWS:
+            raise ValueError(
+                "tile_rows must be one of %s, got %r"
+                % (list(KNOWN_TILE_ROWS), tile_rows)
+            )
         storage.kv.set_integer(BLOOMFILTER_SIZE_KEY, bloomfilter_size)
         storage.kv.set_integer(NUM_HASH_FUNCTS_KEY, num_hashes)
         storage.kv.set_string(LAYOUT_KEY, layout)
+        storage.kv.set_integer(TILE_ROWS_KEY, tile_rows)
         from bigsi_tpu.utils.profiling import phase
 
         if lowmem and hasattr(storage, "rows_path"):
@@ -124,7 +147,8 @@ class KmerSignatureIndex:
         """
         canon = canonicalize_kmer_matrix(kmer_matrix)
         return row_indices(
-            canon, self.num_hashes, self.bloomfilter_size, self.layout
+            canon, self.num_hashes, self.bloomfilter_size, self.layout,
+            self.tile_rows,
         )
 
     # -- lookups ------------------------------------------------------

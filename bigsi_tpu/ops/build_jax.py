@@ -37,8 +37,11 @@ def _pack_bits(bits: jax.Array) -> jax.Array:
     return (b * weights).sum(axis=-1, dtype=jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "h", "layout"))
-def device_bloom(kmers: jax.Array, *, m: int, h: int, layout: str = "classic"):
+@functools.partial(jax.jit, static_argnames=("m", "h", "layout", "tile_rows"))
+def device_bloom(
+    kmers: jax.Array, *, m: int, h: int, layout: str = "classic",
+    tile_rows: int = TILE_ROWS,
+):
     """ASCII k-mer matrix uint8[K, klen] -> packed bloom uint32[ceil(m/32)].
 
     Matches ``BIGSI.bloom`` (canonicalize, hash with seeds 0..h-1,
@@ -49,12 +52,12 @@ def device_bloom(kmers: jax.Array, *, m: int, h: int, layout: str = "classic"):
     if layout == "classic":
         rows = row_indices_jax(canon, h, m)  # [K, h]
     elif layout == "blocked":
-        num_tiles = max(1, m // TILE_ROWS)
+        num_tiles = max(1, m // tile_rows)
         seeds = jnp.arange(h + 1, dtype=jnp.uint32)
         hs = murmur3_32_jax(canon, seeds)  # int32 [K, h+1]
         tile = _floor_mod(hs[:, :1], num_tiles)
-        slots = _floor_mod(hs[:, 1:], TILE_ROWS)
-        rows = tile * TILE_ROWS + slots
+        slots = _floor_mod(hs[:, 1:], tile_rows)
+        rows = tile * tile_rows + slots
     else:
         raise ValueError("device_bloom supports classic/blocked, not %r" % layout)
     mw = (m + 31) // 32

@@ -172,7 +172,7 @@ def shard_tiles(tiles: np.ndarray, mesh: Mesh, tile_rows: int = 32) -> jax.Array
     return jax.device_put(arr, NamedSharding(mesh, P(None, None, AXIS_SAMPLES)))
 
 
-def make_sharded_grouped_step(mesh: Mesh):
+def make_sharded_grouped_step(mesh: Mesh, tile_rows: int = 32):
     """Multi-chip grouped (minimizer tile-dedup) batched counts.
 
     step(tiles3, utile, gmask) with tiles3 uint32[T, 32, W] sharded
@@ -191,9 +191,9 @@ def make_sharded_grouped_step(mesh: Mesh):
     from bigsi_tpu.ops.lookup import grouped_counts
 
     def local_step(tiles_l, utile_l, gmask_l):
-        t, tile_rows, w_l = tiles_l.shape
+        t, tr, w_l = tiles_l.shape
         counts_l = grouped_counts(
-            tiles_l.reshape(t, tile_rows * w_l), utile_l, gmask_l
+            tiles_l.reshape(t, tr * w_l), utile_l, gmask_l, tile_rows
         )
         return jax.lax.all_gather(counts_l, AXIS_SAMPLES, axis=1, tiled=True)
 
@@ -202,6 +202,103 @@ def make_sharded_grouped_step(mesh: Mesh):
         mesh=mesh,
         in_specs=(
             P(None, None, AXIS_SAMPLES),
+            P(AXIS_BATCH, None),
+            P(AXIS_BATCH, None, None),
+        ),
+        out_specs=P(AXIS_BATCH, None),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+AXIS_ROWS = "r"
+
+
+def make_row_mesh(axis_sizes, devices=None) -> Mesh:
+    """Mesh with axes (d, r, s) for ROW-sharded tile indexes.
+
+    ``r`` shards the tile axis: each device holds a contiguous slab of
+    tiles, so indexes larger than one chip's HBM span devices by rows
+    as well as samples (an N-sample, m-bit index is uint32[m, W] ≈
+    m·W/8·r·s per device).  Only the blocked/minimizer layouts support
+    this: they colocate a k-mer's h rows in ONE tile by construction,
+    so a k-mer's whole lookup lands on a single row shard and partial
+    counts merge with one ``psum``.  (Classic spreads a k-mer's rows
+    anywhere in [0, m) — its scale-out axes remain d/k/s.)
+    """
+    devices = devices if devices is not None else jax.devices()
+    d, r, s = axis_sizes
+    if d * r * s > len(devices):
+        raise ValueError(
+            "mesh axes %r need %d devices but only %d are available"
+            % (axis_sizes, d * r * s, len(devices))
+        )
+    arr = np.array(devices[: d * r * s]).reshape(d, r, s)
+    return Mesh(arr, (AXIS_BATCH, AXIS_ROWS, AXIS_SAMPLES))
+
+
+def shard_tiles_rows(
+    tiles: np.ndarray, mesh: Mesh, tile_rows: int = 32
+) -> jax.Array:
+    """Place a tile-major matrix uint32[T, tile_rows*W] with the TILE
+    axis sharded over ``r`` and the word axis over ``s`` — each device
+    holds a contiguous tile slab of its sample-column shard.  T is
+    zero-padded to a multiple of |r| (phantom tiles are never probed:
+    utile ids stay < T)."""
+    t, fat = tiles.shape
+    w = fat // tile_rows
+    arr = tiles.reshape(t, tile_rows, w)
+    r = mesh.shape[AXIS_ROWS]
+    s = mesh.shape[AXIS_SAMPLES]
+    tp = math.ceil(t / r) * r
+    wp = math.ceil(w / s) * s
+    if (tp, wp) != (t, w):
+        grown = np.zeros((tp, tile_rows, wp), dtype=np.uint32)
+        grown[:t, :, :w] = arr
+        arr = grown
+    return jax.device_put(
+        arr, NamedSharding(mesh, P(AXIS_ROWS, None, AXIS_SAMPLES))
+    )
+
+
+def make_rowsharded_grouped_step(mesh: Mesh, tile_rows: int = 32):
+    """Grouped (minimizer tile-dedup) batched counts over a ROW-sharded
+    tile matrix.
+
+    step(tiles3, utile, gmask) with tiles3 uint32[T_pad, tile_rows, W]
+    sharded P(r, None, s); utile int32[B, U] / gmask uint32[B, U, R]
+    sharded P(d, None(, None)) -> counts int32[B, W*32] sharded
+    P(d, None).
+
+    Each device keeps only the slot entries whose tile falls in its
+    slab (the rest contribute zero rows to the carry-save popcount),
+    gathers locally, and the per-slab partial counts ``psum`` over
+    ``r`` then ``all_gather`` over ``s``.  The reference's analogue is
+    splitting the row key-space over storage shards
+    (``bigsi/storage/redis.py`` sharded-server deployments).
+    """
+    from bigsi_tpu.ops.lookup import grouped_counts
+
+    def local_step(tiles_l, utile_l, gmask_l):
+        t_loc, tr, w_l = tiles_l.shape
+        lo = jax.lax.axis_index(AXIS_ROWS) * t_loc
+        local = utile_l - lo
+        in_slab = (local >= 0) & (local < t_loc)
+        # masked-out entries point at tile 0 with an empty slot mask ->
+        # zero contribution to the counts
+        local = jnp.where(in_slab, local, 0)
+        gm = jnp.where(in_slab[..., None], gmask_l, jnp.uint32(0))
+        counts_l = grouped_counts(
+            tiles_l.reshape(t_loc, tr * w_l), local, gm, tr
+        )
+        counts_l = jax.lax.psum(counts_l, AXIS_ROWS)
+        return jax.lax.all_gather(counts_l, AXIS_SAMPLES, axis=1, tiled=True)
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS_ROWS, None, AXIS_SAMPLES),
             P(AXIS_BATCH, None),
             P(AXIS_BATCH, None, None),
         ),
@@ -221,11 +318,18 @@ class MeshEngine:
 
     def __init__(
         self, matrix, mesh: Mesh | None = None, h: int | None = None,
-        layout: str = "classic",
+        layout: str = "classic", tile_rows: int = 32, row_shards: int = 1,
     ):
         self.matrix = matrix
         self.mesh = mesh or make_mesh()
         self.layout = layout
+        self.tile_rows = tile_rows
+        self.row_shards = row_shards
+        if row_shards > 1 and layout not in ("blocked", "minimizer"):
+            raise ValueError(
+                "row sharding needs a tile layout (blocked/minimizer): "
+                "classic spreads a k-mer's rows over the whole index"
+            )
         self.words = shard_matrix(np.asarray(matrix.words), self.mesh)
         self._steps = {}
         self._grouped_step = None
@@ -234,7 +338,11 @@ class MeshEngine:
         self._h = h
 
     def _grouped(self):
-        """Lazy (d, 1, s) grouped step + tile-major sharded matrix.
+        """Lazy grouped step + tile-major sharded matrix.
+
+        (d, 1, s) mesh by default; with ``row_shards`` > 1 a
+        (d*k, r, s) ROW mesh — the tile axis shards over ``r`` so the
+        matrix can exceed one device's HBM (see make_row_mesh).
 
         Returns (step, tiles3, batch_axis_size) — callers must pad the
         query batch to a multiple of the GROUPED mesh's batch axis
@@ -246,16 +354,25 @@ class MeshEngine:
                 self.mesh.shape[AXIS_KMERS],
                 self.mesh.shape[AXIS_SAMPLES],
             )
-            mesh = (
-                self.mesh
-                if k == 1
-                else make_mesh(d * k * s, (d * k, 1, s))
-            )
             from bigsi_tpu.index.device_engine import tile_pack
 
-            tiles = tile_pack(np.asarray(self.matrix.words))
-            self._tiles3 = shard_tiles(tiles, mesh)
-            self._grouped_step = make_sharded_grouped_step(mesh)
+            tiles = tile_pack(np.asarray(self.matrix.words), self.tile_rows)
+            if self.row_shards > 1:
+                mesh = make_row_mesh((d * k, self.row_shards, s))
+                self._tiles3 = shard_tiles_rows(tiles, mesh, self.tile_rows)
+                self._grouped_step = make_rowsharded_grouped_step(
+                    mesh, self.tile_rows
+                )
+            else:
+                mesh = (
+                    self.mesh
+                    if k == 1
+                    else make_mesh(d * k * s, (d * k, 1, s))
+                )
+                self._tiles3 = shard_tiles(tiles, mesh, self.tile_rows)
+                self._grouped_step = make_sharded_grouped_step(
+                    mesh, self.tile_rows
+                )
             self._grouped_db = mesh.shape[AXIS_BATCH]
         return self._grouped_step, self._tiles3, self._grouped_db
 
@@ -308,21 +425,22 @@ class MeshEngine:
         if b == 0 or k == 0:
             return np.zeros((b, num_cols), dtype=np.int64)
         if self.layout == "minimizer":
-            from bigsi_tpu.ops.lookup import TILE_ROWS, build_grouped_streams
+            from bigsi_tpu.ops.lookup import build_grouped_streams
 
             step, tiles3, db = self._grouped()
+            tr = self.tile_rows
             # pow2 batch bucket (multiple of the grouped mesh's batch
             # axis) so serving batch sizes hit a few compiled shapes
             bb = db
             while bb < b:
                 bb *= 2
             tile = np.zeros((bb, k), dtype=np.int32)
-            tile[:b] = row_idx[:, :, 0] // TILE_ROWS
+            tile[:b] = row_idx[:, :, 0] // tr
             sm = np.zeros((bb, k), dtype=np.uint32)
             sm[:b] = np.where(
                 mask,
                 np.bitwise_or.reduce(
-                    np.uint32(1) << (row_idx % TILE_ROWS).astype(np.uint32), axis=2
+                    np.uint32(1) << (row_idx % tr).astype(np.uint32), axis=2
                 ),
                 np.uint32(0),
             )

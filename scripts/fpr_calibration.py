@@ -54,15 +54,15 @@ def mutate_one(rng, kmers):
     return out
 
 
-def build_bits(kmers, m, h, layout):
-    rows = row_indices(canonicalize_kmer_matrix(kmers), h, m, layout)
+def build_bits(kmers, m, h, layout, tile_rows=32):
+    rows = row_indices(canonicalize_kmer_matrix(kmers), h, m, layout, tile_rows)
     bits = np.zeros(m, dtype=bool)
     bits[rows.reshape(-1)] = True
     return bits
 
 
-def query_present(bits, kmers, m, h, layout):
-    rows = row_indices(canonicalize_kmer_matrix(kmers), h, m, layout)
+def query_present(bits, kmers, m, h, layout, tile_rows=32):
+    rows = row_indices(canonicalize_kmer_matrix(kmers), h, m, layout, tile_rows)
     return bits[rows].all(axis=1)
 
 
@@ -70,7 +70,7 @@ def kmer_set(kmers):
     return {bytes(r) for r in canonicalize_kmer_matrix(kmers)}
 
 
-def measure(m, n_kmers, h, k, seed=0):
+def measure(m, n_kmers, h, k, seed=0, tile_rows=32):
     rng = np.random.default_rng(seed)
     genome = random_kmer_matrix(rng, n_kmers, k)
     truth = kmer_set(genome)
@@ -89,12 +89,12 @@ def measure(m, n_kmers, h, k, seed=0):
 
     results = {}
     for layout in ("classic", "blocked", "minimizer"):
-        bits = build_bits(genome, m, h, layout)
-        assert query_present(bits, genome, m, h, layout).all(), (
+        bits = build_bits(genome, m, h, layout, tile_rows)
+        assert query_present(bits, genome, m, h, layout, tile_rows).all(), (
             "false negative in %s" % layout
         )
-        bg_hit = query_present(bits, background, m, h, layout)
-        near_hit = query_present(bits, near, m, h, layout)
+        bg_hit = query_present(bits, background, m, h, layout, tile_rows)
+        near_hit = query_present(bits, near, m, h, layout, tile_rows)
         results[layout] = {
             "density": round(float(bits.mean()), 4),
             "fpr_background": round(
@@ -107,12 +107,12 @@ def measure(m, n_kmers, h, k, seed=0):
     return results
 
 
-def m_premium(base_m, n_kmers, h, k, target_fpr, seed=1):
+def m_premium(base_m, n_kmers, h, k, target_fpr, seed=1, tile_rows=32):
     """Smallest m-scale factor at which minimizer near-miss FPR <= the
     classic near-miss FPR at base_m."""
     for scale in (1.0, 1.1, 1.2, 1.3, 1.5, 1.75, 2.0, 2.5, 3.0):
         m = int(base_m * scale)
-        r = measure(m, n_kmers, h, k, seed=seed)
+        r = measure(m, n_kmers, h, k, seed=seed, tile_rows=tile_rows)
         if r["minimizer"]["fpr_near_miss"] <= target_fpr:
             return scale, r["minimizer"]["fpr_near_miss"]
     return float("inf"), None
@@ -126,10 +126,13 @@ def main():
     ap.add_argument("--k", type=int, default=31)
     ap.add_argument("--premium", action="store_true",
                     help="also search for the equal-FPR m premium")
+    ap.add_argument("--tile-rows", type=int, default=32,
+                    help="tile height for blocked/minimizer layouts")
     args = ap.parse_args()
 
-    res = measure(args.m, args.kmers, args.h, args.k)
-    print("m=%d n_kmers=%d h=%d k=%d" % (args.m, args.kmers, args.h, args.k),
+    res = measure(args.m, args.kmers, args.h, args.k, tile_rows=args.tile_rows)
+    print("m=%d n_kmers=%d h=%d k=%d tile_rows=%d"
+          % (args.m, args.kmers, args.h, args.k, args.tile_rows),
           file=sys.stderr)
     print("%-10s %8s %14s %14s" % ("layout", "density", "fpr_background",
                                    "fpr_near_miss"), file=sys.stderr)
@@ -138,10 +141,12 @@ def main():
             layout, r["density"], r["fpr_background"], r["fpr_near_miss"]),
             file=sys.stderr)
 
-    out = {"m": args.m, "n_kmers": args.kmers, "h": args.h, "layouts": res}
+    out = {"m": args.m, "n_kmers": args.kmers, "h": args.h,
+           "tile_rows": args.tile_rows, "layouts": res}
     if args.premium:
         target = res["classic"]["fpr_near_miss"]
-        scale, fpr = m_premium(args.m, args.kmers, args.h, args.k, target)
+        scale, fpr = m_premium(args.m, args.kmers, args.h, args.k, target,
+                               tile_rows=args.tile_rows)
         out["m_premium_for_classic_near_miss_fpr"] = scale
         print("minimizer m premium for classic near-miss FPR parity: %.2fx"
               % scale, file=sys.stderr)

@@ -196,3 +196,101 @@ def test_end_to_end_minimizer(engine):
     inex = b.search(seq1, threshold=0.3)
     assert {r["sample_name"] for r in inex} >= {"s1", "s2"}
     b.delete()
+
+
+# -- tile_rows parameter (16-row tiles: measured ~2.8x query speedup at
+#    a measured FPR premium; see hashing/scheme.py docstring) ----------
+
+
+def test_tile_rows_16_rows_land_in_one_16_tile():
+    from bigsi_tpu.hashing.scheme import MINIMIZER
+
+    kmers = ["ATCGGATTACA", "TTTTGGGGCCA", "ACGTACGTACG"]
+    for layout in (BLOCKED, MINIMIZER):
+        idx = row_indices(kmat(kmers), 3, 4096, layout, tile_rows=16)
+        tiles = idx // 16
+        assert (tiles == tiles[:, :1]).all(), layout
+        assert (idx >= 0).all() and (idx < 4096).all()
+
+
+def test_tile_rows_changes_rows():
+    idx32 = row_indices(kmat(["ATCGGATTACA"]), 3, 4096, BLOCKED)
+    idx16 = row_indices(kmat(["ATCGGATTACA"]), 3, 4096, BLOCKED, tile_rows=16)
+    assert not np.array_equal(idx32, idx16)
+
+
+def test_grouped_counts_tile_rows_16_matches_blocked():
+    import jax.numpy as jnp
+
+    from bigsi_tpu.ops.lookup import (
+        blocked_counts,
+        build_grouped_streams,
+        grouped_counts,
+    )
+
+    rng = np.random.default_rng(11)
+    tr, T, W, B, K = 16, 37, 4, 3, 40
+    tiles = rng.integers(0, 2 ** 32, size=(T, tr * W), dtype=np.uint32)
+    tile = rng.integers(0, T, size=(B, K)).astype(np.int32)
+    tile[:, 1:9] = tile[:, 0:1]  # a run longer than GROUP_R
+    slots = rng.integers(0, tr, size=(B, K, 3)).astype(np.uint32)
+    smask = np.bitwise_or.reduce(np.uint32(1) << slots, axis=2)
+    smask[rng.random((B, K)) < 0.2] = 0
+
+    utile, gmask = build_grouped_streams(tile, smask)
+    got = np.asarray(
+        grouped_counts(jnp.asarray(tiles), jnp.asarray(utile), jnp.asarray(gmask), tr)
+    )
+    want = np.asarray(
+        blocked_counts(
+            jnp.asarray(tiles), jnp.asarray(tile), jnp.asarray(smask),
+            jnp.asarray(smask != 0), tr,
+        )
+    )
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("engine", ["numpy", "tpu"])
+def test_end_to_end_tile_rows_16(engine):
+    from bigsi_tpu.hashing.scheme import MINIMIZER
+
+    cfg = {**config(layout=MINIMIZER), "engine": engine, "tile-rows": 16,
+           "k": 11, "m": 4096}
+    q1, q2, q3 = "ATCGGATTACA", "ATCGGATTACT", "GGCCGGCCGGC"
+    blooms = [
+        BIGSI.bloom(cfg, [q1, q2]),
+        BIGSI.bloom(cfg, [q1]),
+        BIGSI.bloom(cfg, [q3]),
+    ]
+    b = BIGSI.build(cfg, blooms, ["s1", "s2", "s3"])
+    assert b.tile_rows == 16
+    names = {r["sample_name"] for r in b.search(q1)}
+    assert {"s1", "s2"} <= names
+    assert any(r["sample_name"] == "s3" for r in b.search(q3))
+    # reopen: tile_rows persisted in the index, not the config
+    again = BIGSI(cfg)
+    assert again.tile_rows == 16
+    assert {r["sample_name"] for r in again.search(q1)} >= {"s1", "s2"}
+    b.delete()
+
+
+def test_merge_tile_rows_mismatch_rejected():
+    c1 = {**config("lay1"), "tile-rows": 16}
+    c2 = {**config("lay2"), "tile-rows": 32}
+    b1 = BIGSI.build(c1, [BIGSI.bloom(c1, ["ATC"])], ["a"])
+    b2 = BIGSI.build(c2, [BIGSI.bloom(c2, ["ATC"])], ["b"])
+    with pytest.raises(AssertionError):
+        b1.merge(b2)
+    b1.delete()
+    b2.delete()
+
+
+def test_config_validates_tile_rows():
+    from bigsi_tpu.config import validate_config
+
+    base = {"k": 31, "m": 1000, "h": 3, "layout": "minimizer"}
+    validate_config({**base, "tile-rows": 16})
+    with pytest.raises(ValueError):
+        validate_config({**base, "tile-rows": 13})
+    with pytest.raises(ValueError):
+        validate_config({"k": 31, "m": 1000, "h": 3, "tile-rows": 16})

@@ -230,3 +230,80 @@ def test_mesh_minimizer_odd_batch_on_k_mesh():
     assert bigsi.search_batch(queries, 0.5) == [
         bigsi.search(q, 0.5) for q in queries
     ]
+
+
+@pytest.mark.parametrize("axes", [(2, 2, 2), (1, 4, 2), (1, 8, 1)])
+def test_rowsharded_grouped_step_matches_blocked(axes):
+    """ROW-sharded grouped step (tile axis over ``r``) == single-device
+    blocked.  Covers >HBM indexes spanning chips by rows (ROADMAP 3)."""
+    import jax.numpy as jnp
+
+    from bigsi_tpu.ops.lookup import blocked_counts, build_grouped_streams
+    from bigsi_tpu.parallel.sharding import (
+        make_row_mesh,
+        make_rowsharded_grouped_step,
+        shard_tiles_rows,
+    )
+
+    rng = np.random.default_rng(23)
+    tr, T, W, B, K = 16, 19, 8, 4, 30  # T not a multiple of r: pad path
+    tiles = rng.integers(0, 2 ** 32, size=(T, tr * W), dtype=np.uint32)
+    tile = rng.integers(0, T, size=(B, K)).astype(np.int32)
+    tile[:, 1:9] = tile[:, 0:1]  # minimizer-style runs
+    slots = rng.integers(0, tr, size=(B, K, 3)).astype(np.uint32)
+    smask = np.bitwise_or.reduce(np.uint32(1) << slots, axis=2)
+    smask[rng.random((B, K)) < 0.2] = 0
+
+    utile, gmask = build_grouped_streams(tile, smask)
+    mesh = make_row_mesh(axes)
+    step = make_rowsharded_grouped_step(mesh, tr)
+    tiles3 = shard_tiles_rows(tiles, mesh, tr)
+    got = np.asarray(step(tiles3, utile, gmask))
+    want = np.asarray(
+        blocked_counts(
+            jnp.asarray(tiles), jnp.asarray(tile), jnp.asarray(smask),
+            jnp.asarray(smask != 0), tr,
+        )
+    )
+    assert np.array_equal(got, want)
+
+
+def test_mesh_engine_row_sharded_counts_batch():
+    """MeshEngine with row_shards > 1 returns the same counts as the
+    host oracle for a minimizer index."""
+    from bigsi_tpu.hashing.scheme import row_indices
+    from bigsi_tpu.kmers import seq_to_ascii
+    from bigsi_tpu.parallel.sharding import MeshEngine, make_mesh
+
+    rng = np.random.default_rng(31)
+    m, n, h, tr = 2048, 40, 3, 16
+    words = rng.integers(0, 2 ** 32, size=(m, 2), dtype=np.uint32)
+    matrix = BitSliceMatrix(words, num_cols=n)
+    host = HostEngine(matrix)
+    eng = MeshEngine(
+        matrix, mesh=make_mesh(8, (2, 1, 2)), layout="minimizer",
+        tile_rows=tr, row_shards=2,
+    )
+
+    kmers = ["ATCGGATTACA", "TCGGATTACAT", "CGGATTACATG", "GGCCGGCCGGC"]
+    mat = np.stack([seq_to_ascii(k) for k in kmers])
+    idx = row_indices(mat, h, m, "minimizer", tile_rows=tr)
+    B, K = 2, len(kmers)
+    row_idx = np.stack([idx, idx[::-1]]).astype(np.int64)
+    mask = np.ones((B, K), dtype=bool)
+    mask[1, -1] = False
+
+    got = eng.counts_batch(row_idx, mask, n)
+    want = np.stack([
+        host.counts(host.and_rows(row_idx[b][mask[b]]), n) for b in range(B)
+    ])
+    assert np.array_equal(got, want)
+
+
+def test_row_shards_rejects_classic():
+    from bigsi_tpu.parallel.sharding import MeshEngine, make_mesh
+
+    words = np.zeros((64, 1), dtype=np.uint32)
+    matrix = BitSliceMatrix(words, num_cols=8)
+    with pytest.raises(ValueError):
+        MeshEngine(matrix, mesh=make_mesh(8, (1, 1, 2)), row_shards=2)
