@@ -250,18 +250,30 @@ def main():
     # hashes the raw ASCII k-mers (C fast paths) and builds the grouped
     # streams (C), then ONE device dispatch runs the grouped step.  Host
     # prep of batch i+1 overlaps device batch i in serving, so the
-    # steady-state rate is bounded by max(host, device).
+    # steady-state rate is bounded by max(host, device).  Queries are
+    # sliding-window k-mers of B random sequences — the real serving
+    # shape (row overlap keeps the native rolling-minimizer path hot).
+    from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
     from bigsi_tpu.hashing.scheme import minimizer_tiles
     from bigsi_tpu.kmers import canonicalize_kmer_matrix
 
-    kmers_flat = kmers_ascii.reshape(B * K, klen)
+    seqs = np.frombuffer(b"ACGT", dtype=np.uint8)[
+        rng.integers(0, 4, size=(B, K + klen - 1))
+    ]
+    kmers_flat = np.concatenate(
+        [
+            np.lib.stride_tricks.sliding_window_view(q, klen).copy()
+            for q in seqs
+        ]
+    )  # [B*K, klen], overlapping rows within each query
 
     def serve_host_prep():
         canon = canonicalize_kmer_matrix(kmers_flat)
-        from bigsi_tpu.hashing.scheme import _hashes
-
-        tile = minimizer_tiles(canon, T16).reshape(B, K).astype(np.int32)
-        slots = np.mod(_hashes(canon, range(H)), TR16).astype(np.uint32)
+        # tiles from the PRE-canonical form (strand-invariant; keeps the
+        # rolling-window C path hot), slots from the canonical form —
+        # exactly signature.kmer_matrix_to_row_idx's dispatch
+        tile = minimizer_tiles(kmers_flat, T16).reshape(B, K).astype(np.int32)
+        slots = hash_kmer_matrix(canon, H, TR16).astype(np.uint32)
         smask = (
             np.bitwise_or.reduce(np.uint32(1) << slots, axis=1)
             .reshape(B, K)

@@ -87,9 +87,18 @@ def _hashes(kmers: np.ndarray, seeds) -> np.ndarray:
 
 def row_indices(
     kmers: np.ndarray, h: int, m: int, layout: str = CLASSIC,
-    tile_rows: int = TILE_ROWS,
+    tile_rows: int = TILE_ROWS, tile_source: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Canonical ASCII k-mer matrix [K, k] -> bloom row indices int64 [K, h]."""
+    """Canonical ASCII k-mer matrix [K, k] -> bloom row indices int64 [K, h].
+
+    ``tile_source`` (minimizer layout only): an alternative ASCII matrix
+    to compute TILES from — the tile is strand-invariant (the window
+    hash set of a k-mer and its reverse complement is identical), so
+    callers may pass the PRE-canonical query-form k-mers, whose rows
+    overlap by k-1 and keep the native rolling-window fast path hot
+    (tests/test_hashing.py asserts the invariance).  Slot hashes always
+    come from the canonical ``kmers``.
+    """
     if layout == CLASSIC:
         # native fast path handles classic (bit-identical); see murmur3.py
         from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
@@ -97,8 +106,11 @@ def row_indices(
         return hash_kmer_matrix(kmers, h, m)
     num_tiles = max(1, m // tile_rows)
     if layout == MINIMIZER:
-        tile = minimizer_tiles(kmers, num_tiles)  # [K]
-        slots = np.mod(_hashes(kmers, range(h)), tile_rows)  # [K, h]
+        from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
+
+        src = kmers if tile_source is None else tile_source
+        tile = minimizer_tiles(src, num_tiles)  # [K]
+        slots = hash_kmer_matrix(kmers, h, tile_rows)  # [K, h] (native)
         return tile[:, None] * tile_rows + slots
     if layout != BLOCKED:
         raise ValueError("unknown layout %r" % layout)
@@ -141,6 +153,17 @@ def minimizer_tiles(kmers: np.ndarray, num_tiles: int, s: int | None = None):
         s = default_minimizer_s(k)
     s = min(s, k)
     w = k - s + 1
+    if K:
+        import os
+
+        if not os.environ.get("BIGSI_TPU_NO_NATIVE"):
+            from bigsi_tpu import native
+
+            fast = native.minimizer_tiles_batch(
+                kmers, s, MINIMIZER_SEED, num_tiles
+            )
+            if fast is not None:
+                return fast
     win = np.lib.stride_tricks.sliding_window_view(kmers, s, axis=1)
     flat = np.ascontiguousarray(win.reshape(K * w, s))
     seed = np.asarray([MINIMIZER_SEED & 0xFFFFFFFF], dtype=np.uint32)

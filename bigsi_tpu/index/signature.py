@@ -148,7 +148,7 @@ class KmerSignatureIndex:
         canon = canonicalize_kmer_matrix(kmer_matrix)
         return row_indices(
             canon, self.num_hashes, self.bloomfilter_size, self.layout,
-            self.tile_rows,
+            self.tile_rows, tile_source=kmer_matrix,
         )
 
     # -- lookups ------------------------------------------------------

@@ -75,6 +75,14 @@ def canonicalize_kmer_matrix(kmers: np.ndarray) -> np.ndarray:
     """
     if kmers.size == 0:
         return kmers
+    import os
+
+    if not os.environ.get("BIGSI_TPU_NO_NATIVE"):
+        from bigsi_tpu import native
+
+        out = np.ascontiguousarray(kmers, dtype=np.uint8).copy()
+        if native.canonicalize_kmers_inplace(out):
+            return out
     rc = _COMP_TABLE[kmers[:, ::-1]]
     # Lexicographic compare rows of `kmers` vs `rc`: find first differing
     # column, then pick whichever is smaller there.

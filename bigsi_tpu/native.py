@@ -92,6 +92,34 @@ def hash_kmer_batch(kmers: np.ndarray, h: int, m: int) -> np.ndarray | None:
     return out
 
 
+def minimizer_tiles_batch(
+    kmers: np.ndarray, s: int, seed: int, num_tiles: int
+) -> np.ndarray | None:
+    """Native fast path for hashing.scheme.minimizer_tiles.
+
+    Exploits k-mer matrix row overlap (rolling window reuse) — ~100x
+    the numpy path on sliding-window query batches.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint8)
+    K, k = kmers.shape
+    if s > k or s > 64:
+        return None
+    out = np.empty(K, dtype=np.int64)
+    lib.minimizer_tiles_batch(
+        _ptr(kmers),
+        ctypes.c_int64(K),
+        ctypes.c_int(k),
+        ctypes.c_int(s),
+        ctypes.c_uint32(seed & 0xFFFFFFFF),
+        ctypes.c_int64(num_tiles),
+        _ptr(out),
+    )
+    return out
+
+
 def bloom_insert_batch(kmers: np.ndarray, h: int, m: int, bloom: np.ndarray) -> bool:
     """Set bloom bits for all kmers into a uint8 0/1 bitmap. True if native ran."""
     lib = _load()

@@ -151,6 +151,57 @@ void canonicalize_kmers(uint8_t* kmers, int64_t K, int k) {
   }
 }
 
+// ------------------------------------------------------------ minimizer
+
+// Strand-invariant minimizer tile per k-mer (the serving hot path's
+// host side; numpy version in bigsi_tpu/hashing/scheme.py
+// minimizer_tiles costs ~530 ms per [256, 512] query batch — it hashes
+// every s-mer window of every k-mer twice).  Semantics are identical:
+// tile = (min over the k-mer's w = k-s+1 windows of
+//         min(murmur3(smer), murmur3(revcomp(smer)))) % num_tiles.
+//
+// Rolling reuse: consecutive rows of a query's k-mer matrix overlap by
+// k-1 bytes (sliding window k-mers, order-preserving dedupe), so row
+// i+1's windows are row i's shifted by one plus ONE new window.  The
+// overlap is detected by memcmp, so the routine is correct for any
+// input ordering — overlap only makes it ~10x faster.  The tile is
+// invariant under reverse-complement of the whole k-mer (the window
+// hash set is identical), so callers may pass pre-canonical k-mers,
+// which preserve overlap where canonicalized ones would break it.
+void minimizer_tiles_batch(const uint8_t* kmers, int64_t K, int k, int s,
+                           uint32_t seed, int64_t num_tiles, int64_t* out) {
+  if (s > k || s > 64 || K <= 0) return;
+  const int w = k - s + 1;
+  uint8_t comp[256];
+  for (int i = 0; i < 256; i++) comp[i] = (uint8_t)i;
+  comp['A'] = 'T'; comp['T'] = 'A'; comp['C'] = 'G'; comp['G'] = 'C';
+  uint32_t hw[64];  // window hashes, hw[p] for window at byte offset p
+  uint8_t rc[64];
+  auto window_hash = [&](const uint8_t* smer) -> uint32_t {
+    uint32_t hf = murmur3_32(smer, s, seed);
+    for (int j = 0; j < s; j++) rc[j] = comp[smer[s - 1 - j]];
+    uint32_t hr = murmur3_32(rc, s, seed);
+    return hf < hr ? hf : hr;
+  };
+  bool have_prev = false;
+  for (int64_t i = 0; i < K; i++) {
+    const uint8_t* row = kmers + i * k;
+    if (have_prev && w > 1 &&
+        std::memcmp(row, kmers + (i - 1) * k + 1, (size_t)(k - 1)) == 0) {
+      std::memmove(hw, hw + 1, sizeof(uint32_t) * (size_t)(w - 1));
+      hw[w - 1] = window_hash(row + (w - 1));
+    } else {
+      for (int p = 0; p < w; p++) hw[p] = window_hash(row + p);
+    }
+    uint32_t mn = hw[0];
+    for (int p = 1; p < w; p++) {
+      if (hw[p] < mn) mn = hw[p];
+    }
+    out[i] = (int64_t)((uint64_t)mn % (uint64_t)num_tiles);
+    have_prev = true;
+  }
+}
+
 // --------------------------------------------------------- query (host)
 
 // AND h packed rows per kmer and accumulate per-sample counts.

@@ -107,3 +107,36 @@ def test_canonicalize_jax_matches_host_oracle():
         want = canonicalize_kmer_matrix(kmers)
         got = np.asarray(canonicalize_jax(jnp.asarray(kmers)))
         assert np.array_equal(got, want), k
+
+
+def test_native_minimizer_tiles_parity_and_invariance():
+    """Native minimizer (rolling-window C path) vs the numpy oracle, and
+    strand invariance: tiles of canon(x) == tiles of x (what lets the
+    search path compute tiles from PRE-canonical query k-mers)."""
+    import os
+
+    import numpy as np
+
+    from bigsi_tpu.hashing.scheme import minimizer_tiles
+    from bigsi_tpu.kmers import canonicalize_kmer_matrix
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    num_tiles = 12345
+
+    # flat (non-overlapping) k-mers
+    flat = bases[rng.integers(0, 4, size=(500, 31))]
+    # sliding-window (overlapping) k-mers — exercises the rolling path
+    seq = bases[rng.integers(0, 4, size=3000)]
+    win = np.lib.stride_tricks.sliding_window_view(seq, 31).copy()
+
+    for km in (flat, win):
+        os.environ["BIGSI_TPU_NO_NATIVE"] = "1"
+        try:
+            ref = minimizer_tiles(km, num_tiles)
+        finally:
+            del os.environ["BIGSI_TPU_NO_NATIVE"]
+        got = minimizer_tiles(km, num_tiles)
+        assert (ref == got).all()
+        canon = canonicalize_kmer_matrix(km)
+        assert (minimizer_tiles(canon, num_tiles) == got).all()
