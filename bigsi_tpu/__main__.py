@@ -136,6 +136,13 @@ def make_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("serve", help="serve the HTTP API")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-process serving: index shards across all processes' "
+        "devices; process 0 answers HTTP, others run the worker loop "
+        "(BIGSI_TPU_COORDINATOR / _NUM_PROCESSES / _PROCESS_ID)",
+    )
     _add_config_arg(p)
 
     return parser
@@ -247,7 +254,12 @@ def run(args) -> str | None:
     if cmd == "serve":
         from bigsi_tpu.http.server import serve
 
-        serve(config, host=args.host, port=args.port)
+        serve(
+            config,
+            host=args.host,
+            port=args.port,
+            distributed=getattr(args, "distributed", False),
+        )
         return None
 
     raise ValueError("unknown command %r" % cmd)

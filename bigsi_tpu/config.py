@@ -18,7 +18,7 @@ import yaml
 from bigsi_tpu.constants import DEFAULT_CONFIG
 
 REQUIRED_KEYS = ("k", "m", "h")
-KNOWN_ENGINES = ("numpy", "tpu", "mesh")
+KNOWN_ENGINES = ("numpy", "tpu", "mesh", "distributed")
 KNOWN_LAYOUTS = ("classic", "blocked", "minimizer")
 KNOWN_TILE_ROWS = (8, 16, 32, 64)
 

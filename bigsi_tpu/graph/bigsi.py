@@ -364,4 +364,11 @@ def _resolve_engine_factory(config, engine_factory):
                 row_shards=row_shards,
             )
         return MeshEngine
+    if engine == "distributed":
+        # multi-process serving (``serve --distributed``): the caller
+        # must have run parallel.distributed.initialize() first; every
+        # process constructs the engine collectively on index open
+        from bigsi_tpu.parallel.distributed import DistributedEngine
+
+        return DistributedEngine
     raise ValueError("unknown engine %r" % engine)

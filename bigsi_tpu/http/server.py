@@ -50,6 +50,7 @@ class BigsiHTTPServer(ThreadingHTTPServer):
 
     def __init__(self, addr, config):
         self.config = config
+        self.read_only = False  # distributed serving forbids mutation
         self._bigsi = None
         self._batcher = None
         self._lock = threading.RLock()  # batcher resolves bigsi under it
@@ -138,10 +139,16 @@ class _Handler(BaseHTTPRequestHandler):
              "/merge", "/build", "/bloom"}
         )
 
+    MUTATING_ROUTES = frozenset({"/insert", "/merge", "/build", "/bloom"})
+
     def do_DELETE(self):
         route = self._route()
         if route != "/":
             return self._reply(json.dumps({"error": "not found"}), 404)
+        if self.server.read_only:
+            return self._reply(
+                json.dumps({"error": "index is served read-only"}), 403
+            )
         try:
             self.server.bigsi.delete()
             self.server.invalidate()
@@ -153,6 +160,10 @@ class _Handler(BaseHTTPRequestHandler):
         route = self._route()
         if route not in allowed:
             return self._reply(json.dumps({"error": "not found"}), 404)
+        if self.server.read_only and route in self.MUTATING_ROUTES:
+            return self._reply(
+                json.dumps({"error": "index is served read-only"}), 403
+            )
         try:
             params = self._params()
             handler = {
@@ -343,10 +354,52 @@ def make_server(config, host="0.0.0.0", port=8000) -> BigsiHTTPServer:
     return BigsiHTTPServer((host, port), config)
 
 
-def serve(config, host="0.0.0.0", port=8000) -> None:
+def serve(config, host="0.0.0.0", port=8000, distributed=False) -> None:
+    if distributed:
+        return serve_distributed(config, host, port)
     server = make_server(config, host, port)
     logger.info("bigsi-tpu serving on %s:%d", host, port)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+
+
+def serve_distributed(config, host="0.0.0.0", port=8000) -> None:
+    """Multi-process serving: the index column-shards across every
+    process's devices; process 0 answers HTTP, the rest execute the
+    same query programs in lockstep (``run_worker_loop``).
+
+    Coordinator/process identity come from ``BIGSI_TPU_COORDINATOR`` /
+    ``BIGSI_TPU_NUM_PROCESSES`` / ``BIGSI_TPU_PROCESS_ID`` (or TPU pod
+    metadata when launched on real multi-host hardware).  Serving is
+    read-only: mutating routes 403 — rebuild/merge offline, then restart
+    the fleet (the reference's shared-Redis deployments are operated the
+    same way, ``bigsi/storage/redis.py:8-15``).
+    """
+    import jax
+
+    from bigsi_tpu.parallel import distributed as dist
+
+    dist.initialize()
+    cfg = dict(config)
+    cfg["engine"] = "distributed"
+    graph = BIGSI(cfg)  # collective: distributes the matrix shards
+    if jax.process_index() == 0:
+        server = make_server(cfg, host, port)
+        server._bigsi = graph  # pre-built handle (engine is collective)
+        server.read_only = True
+        logger.info(
+            "bigsi-tpu distributed serving on %s:%d (%d processes)",
+            host, port, jax.process_count(),
+        )
+        try:
+            server.serve_forever()
+        finally:
+            graph.engine.stop()
+            server.shutdown()
+    else:
+        logger.info(
+            "bigsi-tpu distributed worker %d running", jax.process_index()
+        )
+        graph.engine.run_worker_loop()

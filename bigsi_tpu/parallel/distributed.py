@@ -47,6 +47,7 @@ logger = logging.getLogger(__name__)
 
 OP_QUERY = 1
 OP_STOP = 0
+OP_PRESENCE = 2
 
 
 def initialize(
@@ -146,33 +147,68 @@ def _local_word_slice(padded, mesh, shard_w):
 class DistributedQueryService:
     """Host-0 dispatch + worker lockstep execution of the sharded step.
 
-    All processes construct it identically (matrix, mesh, h, buckets);
+    All processes construct it identically (matrix, mesh, buckets);
     host 0 then calls :meth:`query`, workers run :meth:`run_worker_loop`.
+    The per-dispatch header carries (op, B, K, h) so workers compile the
+    same step for the same shapes without knowing h up front.
     """
 
-    def __init__(self, words, mesh, *, m: int, h: int, num_samples: int,
-                 bucket=(8, 64)):
+    def __init__(self, words, mesh, *, m: int, num_samples: int,
+                 bucket=(8, 64), h: int | None = None):
         self.mesh = mesh
         self.m = m
-        self.h = h
+        self.h = h  # optional hint; steps are cached per h regardless
         self.num_samples = num_samples
         self.bucket = bucket
         self.words = distribute_words(
             np.asarray(words) if words is not None else None,
             mesh, m=m, w=words.shape[1],
         )
-        self._step = make_sharded_query_step(mesh, h)
+        self._steps = {}
+        self._presence_steps = {}
         self._put_cache = {}
+        # HTTP serving is threaded; one broadcast conversation at a time
+        import threading
+
+        self._lock = threading.Lock()
+
+    def _step(self, h: int):
+        if h not in self._steps:
+            self._steps[h] = make_sharded_query_step(self.mesh, h)
+        return self._steps[h]
+
+    def _presence_step(self, h: int):
+        """Sharded per-kmer presence rows (scoring path): idx int32[K, h]
+        replicated -> packed uint32[K, W] (gather+AND on each device's
+        column shard, all_gather over ``s``)."""
+        if h not in self._presence_steps:
+            from bigsi_tpu.ops.lookup import and_rows_jnp
+
+            def local(words_l, idx_l):
+                packed = and_rows_jnp(words_l, idx_l)
+                return jax.lax.all_gather(
+                    packed, AXIS_SAMPLES, axis=1, tiled=True
+                )
+
+            step = jax.shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(P(None, AXIS_SAMPLES), P(None, None)),
+                out_specs=P(None, None),
+                check_vma=False,
+            )
+            self._presence_steps[h] = jax.jit(step)
+        return self._presence_steps[h]
 
     # -- shape bucketing -------------------------------------------------
 
     def _pad(self, idx: np.ndarray, mask: np.ndarray):
-        b, k, _ = idx.shape
+        b, k, h = idx.shape
         d = self.mesh.shape[AXIS_BATCH]
         kk = self.mesh.shape[AXIS_KMERS]
         bb = max(self.bucket[0], -(-b // d) * d)
         kb = max(self.bucket[1], -(-k // kk) * kk)
-        pidx = np.zeros((bb, kb, self.h), dtype=np.int32)
+        pidx = np.zeros((bb, kb, h), dtype=np.int32)
         pmask = np.zeros((bb, kb), dtype=bool)
         pidx[:b, :k] = idx
         pmask[:b, :k] = mask
@@ -189,7 +225,7 @@ class DistributedQueryService:
         mask_g = jax.make_array_from_process_local_data(
             sh_mask, _slice_for_process(pmask, self.mesh, (AXIS_BATCH, AXIS_KMERS))
         )
-        counts, exact = self._step(self.words, idx_g, mask_g)
+        counts, exact = self._step(pidx.shape[2])(self.words, idx_g, mask_g)
         # result assembly: replicate to every process, host 0 reads it
         counts = multihost_utils.process_allgather(counts, tiled=True)
         exact = multihost_utils.process_allgather(exact, tiled=True)
@@ -202,19 +238,48 @@ class DistributedQueryService:
         shapes + arrays, run the step everywhere, assemble locally."""
         from jax.experimental import multihost_utils
 
-        b, k, _ = idx.shape
-        pidx, pmask = self._pad(idx, mask)
-        hdr = np.array([OP_QUERY, pidx.shape[0], pidx.shape[1]], np.int32)
-        multihost_utils.broadcast_one_to_all(hdr)
-        pidx = np.asarray(multihost_utils.broadcast_one_to_all(pidx))
-        pmask = np.asarray(multihost_utils.broadcast_one_to_all(pmask))
-        counts, exact = self._run(pidx, pmask)
+        b, k, h = idx.shape
+        with self._lock:
+            pidx, pmask = self._pad(idx, mask)
+            hdr = np.array(
+                [OP_QUERY, pidx.shape[0], pidx.shape[1], h], np.int32
+            )
+            multihost_utils.broadcast_one_to_all(hdr)
+            pidx = np.asarray(multihost_utils.broadcast_one_to_all(pidx))
+            pmask = np.asarray(multihost_utils.broadcast_one_to_all(pmask))
+            counts, exact = self._run(pidx, pmask)
         return counts[:b], exact[:b]
+
+    def presence(self, idx: np.ndarray) -> np.ndarray:
+        """Per-kmer packed presence rows from host 0 (scoring path):
+        idx int [K, h] -> uint32 [K, W]."""
+        from jax.experimental import multihost_utils
+
+        k, h = idx.shape
+        kb = max(self.bucket[1], k)
+        pidx = np.zeros((kb, h), dtype=np.int32)
+        pidx[:k] = idx
+        with self._lock:
+            hdr = np.array([OP_PRESENCE, kb, 0, h], np.int32)
+            multihost_utils.broadcast_one_to_all(hdr)
+            pidx = np.asarray(multihost_utils.broadcast_one_to_all(pidx))
+            rows = self._run_presence(pidx)
+        return rows[:k]
+
+    def _run_presence(self, pidx: np.ndarray) -> np.ndarray:
+        sh = NamedSharding(self.mesh, P(None, None))
+        idx_g = jax.make_array_from_process_local_data(sh, pidx)
+        rows = self._presence_step(pidx.shape[1])(self.words, idx_g)
+        # out_specs P(None, None): fully replicated — every process can
+        # read the whole result locally
+        return np.asarray(rows)
 
     def stop(self) -> None:
         from jax.experimental import multihost_utils
 
-        multihost_utils.broadcast_one_to_all(np.array([OP_STOP, 0, 0], np.int32))
+        multihost_utils.broadcast_one_to_all(
+            np.array([OP_STOP, 0, 0, 0], np.int32)
+        )
 
     # -- workers -----------------------------------------------------------
 
@@ -226,15 +291,23 @@ class DistributedQueryService:
         while True:
             hdr = np.asarray(
                 multihost_utils.broadcast_one_to_all(
-                    np.zeros(3, np.int32)
+                    np.zeros(4, np.int32)
                 )
             )
             if hdr[0] == OP_STOP:
                 return
-            bb, kb = int(hdr[1]), int(hdr[2])
+            bb, kb, h = int(hdr[1]), int(hdr[2]), int(hdr[3])
+            if hdr[0] == OP_PRESENCE:
+                pidx = np.asarray(
+                    multihost_utils.broadcast_one_to_all(
+                        np.zeros((bb, h), np.int32)
+                    )
+                )
+                self._run_presence(pidx)
+                continue
             pidx = np.asarray(
                 multihost_utils.broadcast_one_to_all(
-                    np.zeros((bb, kb, self.h), np.int32)
+                    np.zeros((bb, kb, h), np.int32)
                 )
             )
             pmask = np.asarray(
@@ -269,3 +342,85 @@ def _slice_for_process(arr: np.ndarray, mesh, axes) -> np.ndarray:
 
 def _axis_pos(mesh, axis) -> int:
     return list(mesh.axis_names).index(axis)
+
+
+class DistributedEngine:
+    """Engine with the HostEngine surface, backed by the multi-process
+    :class:`DistributedQueryService` — the ``engine: distributed`` story
+    (``serve --distributed``).
+
+    Every process constructs it identically when opening the index
+    (collective: distributes the matrix across all hosts' devices).
+    Host 0 then serves queries; other processes call
+    :meth:`run_worker_loop` and execute the same programs in lockstep.
+    Maps the reference's Redis shared-index role
+    (``bigsi/storage/redis.py:8-15``) with the index IN the accelerator
+    fleet instead of a KV server.
+    """
+
+    def __init__(self, matrix, axis_sizes=None, bucket=(8, 64)):
+        words = np.asarray(matrix.words)
+        self.num_cols = matrix.num_cols
+        mesh = make_global_mesh(axis_sizes)
+        self.service = DistributedQueryService(
+            words, mesh, m=words.shape[0], num_samples=matrix.num_cols,
+            bucket=bucket,
+        )
+
+    # -- serving lifecycle -------------------------------------------------
+
+    def run_worker_loop(self) -> None:
+        self.service.run_worker_loop()
+
+    def stop(self) -> None:
+        self.service.stop()
+
+    # -- batched surface (search_batch / bulk_search) -----------------------
+
+    def counts_batch(
+        self, row_idx: np.ndarray, mask: np.ndarray, num_cols: int
+    ) -> np.ndarray:
+        b = row_idx.shape[0]
+        if b == 0 or row_idx.shape[1] == 0:
+            return np.zeros((b, num_cols), dtype=np.int64)
+        counts, _ = self.service.query(row_idx.astype(np.int32), mask)
+        return counts[:, :num_cols].astype(np.int64)
+
+    # -- HostEngine-compatible single-query surface --------------------------
+
+    def and_rows(self, row_idx: np.ndarray):
+        return _DistributedQuery(self, row_idx)
+
+    def exact_colours(self, packed) -> np.ndarray:
+        if isinstance(packed, np.ndarray):
+            return np.empty(0, dtype=np.int64)
+        _, exact = packed.result()
+        bits = np.unpackbits(exact[0].view(np.uint8), bitorder="little")
+        return np.flatnonzero(bits).astype(np.int64)
+
+    def counts(self, packed, num_cols: int) -> np.ndarray:
+        if isinstance(packed, np.ndarray):
+            return np.zeros(num_cols, dtype=np.int64)
+        counts, _ = packed.result()
+        return counts[0, :num_cols].astype(np.int64)
+
+    def presence_matrix(self, packed, num_cols: int) -> np.ndarray:
+        if isinstance(packed, np.ndarray):
+            return np.empty((0, num_cols), dtype=np.uint8)
+        rows = self.service.presence(np.asarray(packed.row_idx))
+        bits = np.unpackbits(rows.view(np.uint8), axis=-1, bitorder="little")
+        return bits[:, :num_cols]
+
+
+class _DistributedQuery:
+    def __init__(self, engine: DistributedEngine, row_idx: np.ndarray):
+        self.engine = engine
+        self.row_idx = row_idx
+        self._result = None
+
+    def result(self):
+        if self._result is None:
+            idx = np.asarray(self.row_idx, dtype=np.int32)[None]
+            mask = np.ones((1, idx.shape[1]), dtype=bool)
+            self._result = self.engine.service.query(idx, mask)
+        return self._result

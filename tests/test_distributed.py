@@ -105,3 +105,63 @@ def test_two_process_distributed_query():
         for n in range(32):
             packed1 |= int(exact[0, 32 + n]) << n
         assert rec["exact_head"] == [packed0, packed1]
+
+
+def test_distributed_serving(tmp_path):
+    """serve --distributed round-trip: build an index on disk, serve it
+    from 2 processes (host 0 HTTP + 1 lockstep worker), search over
+    HTTP, and confirm mutating routes are rejected read-only."""
+    # build the index single-process (offline build, then restart the
+    # fleet — the documented operating model)
+    import subprocess as sp
+
+    index_dir = str(tmp_path / "idx")
+    ref = (
+        "ACGTAGCATCGGATCGTAGCATCGAGCTACGATCGATCGATCGGATTAGCTACGACTAGCTAGCATCGAT"
+    )
+    alt = ref[:40] + ("C" if ref[40] != "C" else "G") + ref[41:]
+    build_src = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from bigsi_tpu import BIGSI\n"
+        "from bigsi_tpu.kmers import seq_to_kmers\n"
+        "cfg = {'storage-engine': 'bigsi-tpu',\n"
+        "       'storage-config': {'filename': %r},\n"
+        "       'k': 31, 'm': 20000, 'h': 3}\n"
+        "blooms = [BIGSI.bloom(cfg, seq_to_kmers(s, 31)) for s in (%r, %r)]\n"
+        "BIGSI.build(cfg, blooms, ['a', 'b'])\n"
+    ) % (os.path.join(HERE, ".."), index_dir, ref, alt)
+    sp.run([sys.executable, "-c", build_src], check=True, timeout=300)
+
+    coord_port = _free_port()
+    http_port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "distributed_serve_worker.py"),
+             str(pid), "2", str(coord_port), "2", str(http_port), index_dir,
+             ref],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, "serve worker failed:\n%s\n%s" % (out, err[-2000:])
+        assert "PROC_OK" in out
+
+    host0 = outs[0][1]
+    search_line = next(
+        line for line in host0.splitlines() if line.startswith("SEARCH:")
+    )
+    body = json.loads(search_line[len("SEARCH:"):])
+    names = [r["sample_name"] for r in body["results"]]
+    assert "a" in names  # exact sample always hits
+    assert "citation" in body
+    assert "INSERT_STATUS:403" in host0
