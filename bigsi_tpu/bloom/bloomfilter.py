@@ -20,6 +20,7 @@ from bigsi_tpu.matrix.packing import bloom_bytes_to_bools, bools_to_bloom_bytes
 def build_bloom_from_kmer_matrix(
     kmers: np.ndarray, m: int, h: int, out: np.ndarray | None = None,
     layout: str = "classic", tile_rows: int = 32,
+    window: int | None = None,
 ) -> np.ndarray:
     """Set the Bloom bits for an ASCII k-mer matrix [K, k] -> bool [m]."""
     import os
@@ -40,7 +41,7 @@ def build_bloom_from_kmer_matrix(
                 return out
         from bigsi_tpu.hashing.scheme import row_indices
 
-        idx = row_indices(kmers, h, m, layout, tile_rows)
+        idx = row_indices(kmers, h, m, layout, tile_rows, window=window)
         out[idx.ravel()] = True
     return out
 
@@ -48,11 +49,15 @@ def build_bloom_from_kmer_matrix(
 class BloomFilter:
     """API-compatible with the reference ``BloomFilter(m, h)``."""
 
-    def __init__(self, m: int, h: int, layout: str = "classic", tile_rows: int = 32):
+    def __init__(
+        self, m: int, h: int, layout: str = "classic", tile_rows: int = 32,
+        window: int | None = None,
+    ):
         self.m = int(m)
         self.h = int(h)
         self.layout = layout
         self.tile_rows = int(tile_rows)
+        self.window = window
         self.array = np.zeros(self.m, dtype=bool)
 
     @property
@@ -65,7 +70,7 @@ class BloomFilter:
 
             idx = row_indices(
                 seq_to_ascii(element)[None, :], self.h, self.m,
-                self.layout, self.tile_rows,
+                self.layout, self.tile_rows, window=self.window,
             )
             self.array[idx.ravel()] = True
             return
@@ -80,7 +85,7 @@ class BloomFilter:
                 mat = np.stack([seq_to_ascii(e) for e in elems])
                 build_bloom_from_kmer_matrix(
                     mat, self.m, self.h, out=self.array, layout=self.layout,
-                    tile_rows=self.tile_rows,
+                    tile_rows=self.tile_rows, window=self.window,
                 )
             else:
                 for e in elems:

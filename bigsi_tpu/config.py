@@ -76,6 +76,28 @@ def validate_config(config: dict) -> dict:
                 "row sharding (mesh[3] > 1) needs a tile layout "
                 "(blocked/minimizer)"
             )
+    window = config.get("minimizer-window")
+    if window is not None:
+        if layout != "minimizer":
+            raise ValueError(
+                "'minimizer-window' only applies to the minimizer layout"
+            )
+        k = config["k"]
+        if not isinstance(window, int) or not 1 <= window <= k:
+            raise ValueError(
+                "'minimizer-window' must be an integer in [1, k], got %r"
+                % (window,)
+            )
+        # s-mers must be effectively unique or popular minimizers crowd
+        # tiles catastrophically (measured: s=9 drives FPR to 0.55+ —
+        # hashing/scheme.py default_minimizer_s)
+        if k - window + 1 < 13:
+            raise ValueError(
+                "'minimizer-window' %d leaves s-mers of %d bases; s must "
+                "be >= 13 so minimizers stay effectively unique" % (
+                    window, k - window + 1,
+                )
+            )
     if config["k"] > 31:
         raise ValueError("k must be <= 31 (2-bit uint64 packing)")
     return config

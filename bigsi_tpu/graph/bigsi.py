@@ -120,6 +120,7 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             h=config["h"],
             layout=config.get("layout", "classic"),
             tile_rows=config.get("tile-rows", 32),
+            window=config.get("minimizer-window"),
         )
         bloomfilter.update(kmers)
         return bloomfilter.bitarray
@@ -139,6 +140,7 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
                 config.get("low_mem_build", False),
                 layout=config.get("layout", "classic"),
                 tile_rows=config.get("tile-rows", 32),
+                minimizer_window=config.get("minimizer-window"),
             )
         storage.close()
         metrics.incr("build.samples", len(samples))
@@ -311,6 +313,7 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         assert self.kmer_size == bigsi.kmer_size
         assert self.layout == bigsi.layout
         assert self.tile_rows == bigsi.tile_rows
+        assert self.minimizer_window == bigsi.minimizer_window
 
     def merge(self, bigsi):
         self.__validate_merge(bigsi)
@@ -359,9 +362,12 @@ def _resolve_engine_factory(config, engine_factory):
             axes = tuple(axes)
             row_shards = axes[3] if len(axes) > 3 else 1
             mesh = make_mesh(axis_sizes=axes[:3])
-            return lambda matrix, layout="classic", tile_rows=32: MeshEngine(
-                matrix, mesh=mesh, layout=layout, tile_rows=tile_rows,
-                row_shards=row_shards,
+            return (
+                lambda matrix, layout="classic", tile_rows=32,
+                minimizer_window=None: MeshEngine(
+                    matrix, mesh=mesh, layout=layout, tile_rows=tile_rows,
+                    row_shards=row_shards, minimizer_window=minimizer_window,
+                )
             )
         return MeshEngine
     if engine == "distributed":

@@ -19,22 +19,39 @@
   run, cutting the (issue-rate-bound) HBM fetch count another ~6x
   below ``blocked``.
 
-FPR, MEASURED (scripts/fpr_calibration.py, m=2e6, n_kmers=2e5, h=3,
-k=31, density 0.25 — tests/test_fpr_calibration.py asserts the
-ordering at a smaller scale):
+FPR, MEASURED on SEQUENCE genomes — sliding-window k-mers, the real
+data model (scripts/fpr_calibration.py --genome sequence, m=2e6,
+n_kmers=2e5, h=3, k=31, density 0.26; tests/test_fpr_calibration.py
+asserts the orderings at a smaller scale):
 
-| layout    | background FPR | near-miss FPR (1-SNP neighbors) |
-|-----------|----------------|---------------------------------|
-| classic   | 0.0177         | 0.0179                          |
-| blocked   | 0.0292 (1.65x) | 0.0282 (1.58x)                  |
-| minimizer | 0.0295 (1.66x) | 0.0327 (1.83x)                  |
+| layout / tile_rows | background FPR | near-miss FPR (1-SNP) |
+|--------------------|----------------|------------------------|
+| classic            | 0.0173         | 0.0179                 |
+| blocked / 32       | 0.0282 (1.6x)  | 0.0295 (1.6x)          |
+| minimizer / 16     | 0.0883 (5.1x)  | 0.2266 (12.7x)         |
+| minimizer / 32     | 0.0735 (4.2x)  | 0.1392 (7.8x)          |
+| minimizer / 64     | 0.0512 (3.0x)  | 0.0780 (4.4x)          |
 
-Most of the penalty is the BLOCKED-Bloom cost (a sample's block is
-just 32 bits, so 3 hashes collide more); the minimizer's correlated
-tile occupancy adds ~1.16x on top, and only for near-miss queries
-(random k-mers pick tiles independently of the indexed set).  Equal
-near-miss FPR with classic needs m x1.5 (measured; vs blocked,
-~x1.15-1.2).  An index-wide build-time trade recorded in the manifest.
+The blocked penalty is the standard blocked-Bloom cost.  The minimizer
+penalty is RUN CONCENTRATION: all ~run_len (~6) consecutive k-mers of
+a sample that share a minimizer put their run_len*h bits into ONE tile
+column, so the tiles a near-miss query probes are crowded (and the
+lumpy occupancy raises background FPR too — E[occupancy^h] is convex).
+An earlier calibration on independent random k-mers (kept as
+``--genome random-kmers``) cannot show this effect and understated the
+trade at minimizer/32 as 1.66x/1.83x.
+
+What the premium means at QUERY level (the reference's own semantics,
+``scripts/bigsi-param-calculation.R``): hit-count thresholding
+amplifies per-kmer FPR away — at L=100, threshold 0.7, even per-kmer
+0.227 gives query-level FPR 5e-17 (classic: 7e-69); see
+``scripts/bigsi_param_calculation.py:query_fpr_at_threshold`` and its
+``--layout`` m-sizing factors.  Guidance: minimizer is built for
+high-throughput screening at thresholds >= 0.5; for per-kmer-exact
+discrimination (threshold 1.0 relies on the AND of all k-mers, which
+stays safe — FP^n_kmers — but per-kmer presence readouts do not), use
+blocked/classic or size m up with the measured factor.  An index-wide
+build-time trade recorded in the manifest.
 
 The scheme is an index-wide property chosen at build time
 (``config["layout"]``, default classic), persisted in the manifest;
@@ -78,16 +95,31 @@ for _a, _b in zip(b"ACGT", b"TGCA"):
 # normalization: fetch count, expansion work, and popcount work are all
 # independent of m — only the index footprint grows.
 TILE_ROWS = 32
-KNOWN_TILE_ROWS = (8, 16, 32, 64)
+KNOWN_TILE_ROWS = (8, 16, 24, 32, 64)
 
 
 def _hashes(kmers: np.ndarray, seeds) -> np.ndarray:
     return murmur3_32_batch(kmers, np.asarray(seeds, dtype=np.uint32)).astype(np.int64)
 
 
+def window_to_s(k: int, window: int | None) -> int | None:
+    """Minimizer window length (in s-mer positions per k-mer) -> s-mer
+    length.  ``window=None`` keeps the default (w=11, runs ~6).  Longer
+    windows lengthen tile-sharing runs (runs ~ (w+1)/2: w=15 -> ~8,
+    w=19 -> ~10), cutting the query path's issue-bound fetch count, at
+    the cost of denser tiles (pair with taller tile_rows; FPR table in
+    scripts/fpr_calibration.py).  s must stay large enough that s-mers
+    are effectively unique (see default_minimizer_s) — validated in
+    config.validate_config."""
+    if window is None:
+        return None
+    return k - int(window) + 1
+
+
 def row_indices(
     kmers: np.ndarray, h: int, m: int, layout: str = CLASSIC,
     tile_rows: int = TILE_ROWS, tile_source: np.ndarray | None = None,
+    window: int | None = None,
 ) -> np.ndarray:
     """Canonical ASCII k-mer matrix [K, k] -> bloom row indices int64 [K, h].
 
@@ -109,7 +141,8 @@ def row_indices(
         from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
 
         src = kmers if tile_source is None else tile_source
-        tile = minimizer_tiles(src, num_tiles)  # [K]
+        s = window_to_s(kmers.shape[1], window)
+        tile = minimizer_tiles(src, num_tiles, s)  # [K]
         slots = hash_kmer_matrix(kmers, h, tile_rows)  # [K, h] (native)
         return tile[:, None] * tile_rows + slots
     if layout != BLOCKED:

@@ -148,12 +148,16 @@ def tile_pack(words: np.ndarray, tile_rows: int = TILE_ROWS) -> np.ndarray:
 class DeviceEngine:
     def __init__(
         self, matrix: BitSliceMatrix, device=None, layout="classic",
-        tile_rows: int = TILE_ROWS,
+        tile_rows: int = TILE_ROWS, minimizer_window: int | None = None,
     ):
         self.matrix = matrix
         self.device = device or jax.devices()[0]
         self.layout = layout
         self.tile_rows = tile_rows
+        # grouped-stream run bucket: expected minimizer run ~(w+1)/2
+        self.run_len = (
+            (minimizer_window + 1) // 2 if minimizer_window else None
+        )
         self.w = matrix.num_words
         if layout in ("blocked", "minimizer"):
             self.words = jax.device_put(
@@ -270,9 +274,11 @@ class DeviceEngine:
             if self.layout == "minimizer":
                 # consecutive k-mers share tiles: gather each distinct
                 # tile once (~6x fewer issue-bound fetches)
-                from bigsi_tpu.ops.lookup import build_grouped_streams
+                from bigsi_tpu.ops.lookup import GROUP_R, build_grouped_streams
 
-                utile, gmask = build_grouped_streams(tile, sm)
+                utile, gmask = build_grouped_streams(
+                    tile, sm, r=self.run_len or GROUP_R
+                )
                 counts = _counts_batch_grouped(
                     self.words,
                     jax.device_put(utile, self.device),

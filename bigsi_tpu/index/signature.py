@@ -38,7 +38,7 @@ from bigsi_tpu.matrix.packing import pack_bits_lsb, unpack_bits_lsb
 logger = logging.getLogger(__name__)
 
 
-def _make_engine(factory, matrix, layout, tile_rows):
+def _make_engine(factory, matrix, layout, tile_rows, minimizer_window=None):
     """Engines that understand hash layouts get told which one is live;
     plain row-gather engines (any layout is just absolute rows to them)
     are constructed bare."""
@@ -53,6 +53,8 @@ def _make_engine(factory, matrix, layout, tile_rows):
         kwargs["layout"] = layout
     if "tile_rows" in params:
         kwargs["tile_rows"] = tile_rows
+    if "minimizer_window" in params:
+        kwargs["minimizer_window"] = minimizer_window
     return factory(matrix, **kwargs)
 
 
@@ -60,6 +62,7 @@ BLOOMFILTER_SIZE_KEY = "ksi:bloomfilter_size"
 NUM_HASH_FUNCTS_KEY = "ksi:num_hashes"
 LAYOUT_KEY = "ksi:layout"
 TILE_ROWS_KEY = "ksi:tile_rows"
+MINIMIZER_WINDOW_KEY = "ksi:minimizer_window"
 
 
 class KmerSignatureIndex:
@@ -75,10 +78,17 @@ class KmerSignatureIndex:
             self.tile_rows = storage.kv.get_integer(TILE_ROWS_KEY)
         except KeyError:
             self.tile_rows = DEFAULT_TILE_ROWS
+        try:
+            self.minimizer_window = storage.kv.get_integer(
+                MINIMIZER_WINDOW_KEY
+            )
+        except KeyError:
+            self.minimizer_window = None  # default: w=11, runs ~6
         self.bitmatrix = storage.load_matrix()
         factory = engine_factory or HostEngine
         self.engine = _make_engine(
-            factory, self.bitmatrix, self.layout, self.tile_rows
+            factory, self.bitmatrix, self.layout, self.tile_rows,
+            self.minimizer_window,
         )
 
     @classmethod
@@ -91,6 +101,7 @@ class KmerSignatureIndex:
         lowmem=False,
         layout=CLASSIC,
         tile_rows=DEFAULT_TILE_ROWS,
+        minimizer_window=None,
     ) -> "KmerSignatureIndex":
         bloomfilters = [
             bf.bitarray if hasattr(bf, "bitarray") else np.asarray(bf)
@@ -107,6 +118,10 @@ class KmerSignatureIndex:
         storage.kv.set_integer(NUM_HASH_FUNCTS_KEY, num_hashes)
         storage.kv.set_string(LAYOUT_KEY, layout)
         storage.kv.set_integer(TILE_ROWS_KEY, tile_rows)
+        if minimizer_window is not None:
+            storage.kv.set_integer(
+                MINIMIZER_WINDOW_KEY, int(minimizer_window)
+            )
         from bigsi_tpu.utils.profiling import phase
 
         if lowmem and hasattr(storage, "rows_path"):
@@ -149,6 +164,7 @@ class KmerSignatureIndex:
         return row_indices(
             canon, self.num_hashes, self.bloomfilter_size, self.layout,
             self.tile_rows, tile_source=kmer_matrix,
+            window=self.minimizer_window,
         )
 
     # -- lookups ------------------------------------------------------

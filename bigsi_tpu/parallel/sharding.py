@@ -319,11 +319,15 @@ class MeshEngine:
     def __init__(
         self, matrix, mesh: Mesh | None = None, h: int | None = None,
         layout: str = "classic", tile_rows: int = 32, row_shards: int = 1,
+        minimizer_window: int | None = None,
     ):
         self.matrix = matrix
         self.mesh = mesh or make_mesh()
         self.layout = layout
         self.tile_rows = tile_rows
+        self.run_len = (
+            (minimizer_window + 1) // 2 if minimizer_window else None
+        )
         self.row_shards = row_shards
         if row_shards > 1 and layout not in ("blocked", "minimizer"):
             raise ValueError(
@@ -425,7 +429,7 @@ class MeshEngine:
         if b == 0 or k == 0:
             return np.zeros((b, num_cols), dtype=np.int64)
         if self.layout == "minimizer":
-            from bigsi_tpu.ops.lookup import build_grouped_streams
+            from bigsi_tpu.ops.lookup import GROUP_R, build_grouped_streams
 
             step, tiles3, db = self._grouped()
             tr = self.tile_rows
@@ -444,7 +448,9 @@ class MeshEngine:
                 ),
                 np.uint32(0),
             )
-            utile, gmask = build_grouped_streams(tile, sm)
+            utile, gmask = build_grouped_streams(
+                tile, sm, r=self.run_len or GROUP_R
+            )
             counts = step(tiles3, utile, gmask)
             return np.asarray(counts)[:b, :num_cols].astype(np.int64)
         bb, kk = self._pad_sizes(b, k)

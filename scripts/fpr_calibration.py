@@ -54,15 +54,21 @@ def mutate_one(rng, kmers):
     return out
 
 
-def build_bits(kmers, m, h, layout, tile_rows=32):
-    rows = row_indices(canonicalize_kmer_matrix(kmers), h, m, layout, tile_rows)
+def build_bits(kmers, m, h, layout, tile_rows=32, window=None):
+    rows = row_indices(
+        canonicalize_kmer_matrix(kmers), h, m, layout, tile_rows,
+        window=window,
+    )
     bits = np.zeros(m, dtype=bool)
     bits[rows.reshape(-1)] = True
     return bits
 
 
-def query_present(bits, kmers, m, h, layout, tile_rows=32):
-    rows = row_indices(canonicalize_kmer_matrix(kmers), h, m, layout, tile_rows)
+def query_present(bits, kmers, m, h, layout, tile_rows=32, window=None):
+    rows = row_indices(
+        canonicalize_kmer_matrix(kmers), h, m, layout, tile_rows,
+        window=window,
+    )
     return bits[rows].all(axis=1)
 
 
@@ -70,9 +76,21 @@ def kmer_set(kmers):
     return {bytes(r) for r in canonicalize_kmer_matrix(kmers)}
 
 
-def measure(m, n_kmers, h, k, seed=0, tile_rows=32):
+def sequence_kmer_matrix(rng, n, k):
+    """Sliding-window k-mers of one random sequence — the real data
+    model: consecutive k-mers share minimizers, so minimizer tiles get
+    runs of ~run_len*h bits per sample (independent random k-mers
+    UNDERESTIMATE minimizer tile crowding)."""
+    seq = BASES[rng.integers(0, 4, size=n + k - 1)]
+    return np.lib.stride_tricks.sliding_window_view(seq, k).copy()
+
+
+def measure(m, n_kmers, h, k, seed=0, tile_rows=32, window=None,
+            genome_mode="sequence"):
     rng = np.random.default_rng(seed)
-    genome = random_kmer_matrix(rng, n_kmers, k)
+    make = (sequence_kmer_matrix if genome_mode == "sequence"
+            else random_kmer_matrix)
+    genome = make(rng, n_kmers, k)
     truth = kmer_set(genome)
     nq = min(100_000, 2 * n_kmers)
     background = random_kmer_matrix(rng, nq, k)
@@ -89,12 +107,17 @@ def measure(m, n_kmers, h, k, seed=0, tile_rows=32):
 
     results = {}
     for layout in ("classic", "blocked", "minimizer"):
-        bits = build_bits(genome, m, h, layout, tile_rows)
-        assert query_present(bits, genome, m, h, layout, tile_rows).all(), (
-            "false negative in %s" % layout
+        w = window if layout == "minimizer" else None
+        bits = build_bits(genome, m, h, layout, tile_rows, window=w)
+        assert query_present(
+            bits, genome, m, h, layout, tile_rows, window=w
+        ).all(), "false negative in %s" % layout
+        bg_hit = query_present(
+            bits, background, m, h, layout, tile_rows, window=w
         )
-        bg_hit = query_present(bits, background, m, h, layout, tile_rows)
-        near_hit = query_present(bits, near, m, h, layout, tile_rows)
+        near_hit = query_present(
+            bits, near, m, h, layout, tile_rows, window=w
+        )
         results[layout] = {
             "density": round(float(bits.mean()), 4),
             "fpr_background": round(
@@ -107,12 +130,14 @@ def measure(m, n_kmers, h, k, seed=0, tile_rows=32):
     return results
 
 
-def m_premium(base_m, n_kmers, h, k, target_fpr, seed=1, tile_rows=32):
+def m_premium(base_m, n_kmers, h, k, target_fpr, seed=1, tile_rows=32,
+              window=None, genome_mode="sequence"):
     """Smallest m-scale factor at which minimizer near-miss FPR <= the
     classic near-miss FPR at base_m."""
     for scale in (1.0, 1.1, 1.2, 1.3, 1.5, 1.75, 2.0, 2.5, 3.0):
         m = int(base_m * scale)
-        r = measure(m, n_kmers, h, k, seed=seed, tile_rows=tile_rows)
+        r = measure(m, n_kmers, h, k, seed=seed, tile_rows=tile_rows,
+                    window=window, genome_mode=genome_mode)
         if r["minimizer"]["fpr_near_miss"] <= target_fpr:
             return scale, r["minimizer"]["fpr_near_miss"]
     return float("inf"), None
@@ -128,11 +153,20 @@ def main():
                     help="also search for the equal-FPR m premium")
     ap.add_argument("--tile-rows", type=int, default=32,
                     help="tile height for blocked/minimizer layouts")
+    ap.add_argument("--window", type=int, default=None,
+                    help="minimizer window (default: w=11, runs ~6)")
+    ap.add_argument("--genome", choices=("sequence", "random-kmers"),
+                    default="sequence",
+                    help="genome model: sliding-window sequence k-mers "
+                         "(real crowding) or independent random k-mers")
     args = ap.parse_args()
 
-    res = measure(args.m, args.kmers, args.h, args.k, tile_rows=args.tile_rows)
-    print("m=%d n_kmers=%d h=%d k=%d tile_rows=%d"
-          % (args.m, args.kmers, args.h, args.k, args.tile_rows),
+    res = measure(args.m, args.kmers, args.h, args.k,
+                  tile_rows=args.tile_rows, window=args.window,
+                  genome_mode=args.genome)
+    print("m=%d n_kmers=%d h=%d k=%d tile_rows=%d window=%s genome=%s"
+          % (args.m, args.kmers, args.h, args.k, args.tile_rows,
+             args.window, args.genome),
           file=sys.stderr)
     print("%-10s %8s %14s %14s" % ("layout", "density", "fpr_background",
                                    "fpr_near_miss"), file=sys.stderr)
@@ -142,11 +176,13 @@ def main():
             file=sys.stderr)
 
     out = {"m": args.m, "n_kmers": args.kmers, "h": args.h,
-           "tile_rows": args.tile_rows, "layouts": res}
+           "tile_rows": args.tile_rows, "window": args.window,
+           "genome": args.genome, "layouts": res}
     if args.premium:
         target = res["classic"]["fpr_near_miss"]
         scale, fpr = m_premium(args.m, args.kmers, args.h, args.k, target,
-                               tile_rows=args.tile_rows)
+                               tile_rows=args.tile_rows, window=args.window,
+                               genome_mode=args.genome)
         out["m_premium_for_classic_near_miss_fpr"] = scale
         print("minimizer m premium for classic near-miss FPR parity: %.2fx"
               % scale, file=sys.stderr)

@@ -294,3 +294,52 @@ def test_config_validates_tile_rows():
         validate_config({**base, "tile-rows": 13})
     with pytest.raises(ValueError):
         validate_config({"k": 31, "m": 1000, "h": 3, "tile-rows": 16})
+
+
+def test_minimizer_window_round_trip(tmp_path):
+    """Build + search with a non-default minimizer-window: the window is
+    persisted in the index and a fresh handle reproduces exact/inexact
+    results (bloom bits and query hashing agree end to end)."""
+    import numpy as np
+
+    from bigsi_tpu import BIGSI
+    from bigsi_tpu.kmers import seq_to_kmers
+
+    rng = np.random.default_rng(11)
+    bases = "ACGT"
+    ref = "".join(bases[i] for i in rng.integers(0, 4, size=120))
+    alt = ref[:60] + bases[(bases.index(ref[60]) + 1) % 4] + ref[61:]
+    cfg = {
+        "storage-engine": "bigsi-tpu",
+        "storage-config": {"filename": str(tmp_path / "idx")},
+        "k": 31, "m": 200000, "h": 3,
+        "layout": "minimizer", "tile-rows": 32, "minimizer-window": 15,
+    }
+    blooms = [BIGSI.bloom(cfg, seq_to_kmers(s, 31)) for s in (ref, alt)]
+    BIGSI.build(cfg, blooms, ["a", "b"])
+    idx = BIGSI(cfg)
+    assert idx.minimizer_window == 15
+    exact = [r["sample_name"] for r in idx.search(ref)]
+    assert exact == ["a"]
+    inexact = {
+        r["sample_name"]: r["num_kmers_found"]
+        for r in idx.search(ref, threshold=0.2)
+    }
+    assert inexact["a"] == 90
+    # b misses exactly the SNP-spanning k-mers (bar Bloom false positives)
+    assert 90 - 31 <= inexact["b"] < 90
+
+
+def test_minimizer_window_config_validation():
+    import pytest
+
+    from bigsi_tpu.config import validate_config
+
+    base = {"k": 31, "m": 1000, "h": 3, "layout": "minimizer"}
+    validate_config(dict(base, **{"minimizer-window": 15}))
+    with pytest.raises(ValueError):
+        validate_config(dict(base, **{"minimizer-window": 25}))  # s < 13
+    with pytest.raises(ValueError):
+        validate_config(
+            {"k": 31, "m": 1000, "h": 3, "minimizer-window": 15}
+        )  # classic layout
