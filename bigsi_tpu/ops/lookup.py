@@ -152,22 +152,17 @@ def _add_planes(a: list, b: list) -> list:
     return out
 
 
-def csa_counts(rows: jax.Array, axis: int = -2) -> jax.Array:
-    """Per-sample-bit popcount over an axis of packed rows, WITHOUT the
-    32x unpack: int32[..., W*32].
+def csa_counts_planes(planes: list, axis: int = -2) -> jax.Array:
+    """Carry-save popcount from an ALREADY bit-sliced count: ``planes``
+    is a list of uint32 arrays (LSB plane first) each ``[..., K, W]``;
+    reduces along ``axis`` and unpacks to int32 counts ``[..., W*32]``.
 
-    Reduces ``uint32[..., K, W]`` along ``K`` with a carry-save adder
-    tree in bit-sliced form (each partial sum is a list of uint32
-    planes), then unpacks only the ~log2(K) result planes.  ~10x less
-    VPU work than the unpack-then-sum formulation of the reference's
-    ``unpack_and_sum`` (``bigsi/graph/bigsi.py:35-44``).
-
-    Masking: zero out masked rows BEFORE calling (a zero row adds 0).
+    Lets callers fuse the tree's first level(s) into an upstream
+    producer (e.g. the grouped sibling reduces combine presence pairs
+    in-register before anything is written to HBM) and hand the rest of
+    the reduction here.
     """
-    rows = jnp.moveaxis(rows, axis, -2)
-    # level-wise vectorized tree: planes[i] is uint32[..., K_cur, W];
-    # each level halves K_cur by adding even/odd row pairs in one op
-    planes = [rows]
+    planes = [jnp.moveaxis(p, axis, -2) for p in planes]
     while planes[0].shape[-2] > 1:
         kc = planes[0].shape[-2]
         if kc % 2:
@@ -185,6 +180,24 @@ def csa_counts(rows: jax.Array, axis: int = -2) -> jax.Array:
         term = bits << i
         total = term if total is None else total + term
     return total.reshape(*total.shape[:-2], total.shape[-2] * 32)
+
+
+def csa_counts(rows: jax.Array, axis: int = -2) -> jax.Array:
+    """Per-sample-bit popcount over an axis of packed rows, WITHOUT the
+    32x unpack: int32[..., W*32].
+
+    Reduces ``uint32[..., K, W]`` along ``K`` with a carry-save adder
+    tree in bit-sliced form (each partial sum is a list of uint32
+    planes), then unpacks only the ~log2(K) result planes.  ~10x less
+    VPU work than the unpack-then-sum formulation of the reference's
+    ``unpack_and_sum`` (``bigsi/graph/bigsi.py:35-44``).
+
+    Masking: zero out masked rows BEFORE calling (a zero row adds 0).
+
+    The level-wise vectorized tree lives in :func:`csa_counts_planes`
+    (each level halves K by adding even/odd row pairs in one op).
+    """
+    return csa_counts_planes([rows], axis)
 
 
 GROUP_R = 6  # k-mers per distinct tile in the grouped layout (runs ~6)

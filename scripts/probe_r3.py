@@ -147,6 +147,41 @@ def grouped_split(tiles, utile, gmask, tile_rows):
     return csa_counts(rows, axis=1)
 
 
+def grouped_counts_inline_csa(tiles, utile, gmask, tile_rows):
+    """Production sibling reduces, but presence PAIRS combine into
+    bit-sliced count planes inside the same fusion (csa level 1 before
+    anything hits HBM): materialized bytes drop from [B, U*R, W] to
+    ~2 planes of [B, U*ceil(R/2), W]."""
+    from bigsi_tpu.ops.lookup import csa_counts_planes
+
+    b, u = utile.shape
+    r = gmask.shape[2]
+    w = tiles.shape[1] // tile_rows
+    g = jnp.take(tiles, utile.reshape(-1), axis=0).reshape(b, u, tile_rows, w)
+    rowbit = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, tile_rows, 1), 2)
+
+    def pres(j):
+        sel = (gmask[:, :, j, None, None] >> rowbit) & jnp.uint32(1)
+        masked = g | (sel - jnp.uint32(1))
+        p = jax.lax.reduce(
+            masked, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, (2,)
+        )
+        valid = (gmask[:, :, j] != 0)[..., None]
+        return jnp.where(valid, p, jnp.uint32(0))
+
+    s_planes, c_planes = [], []
+    for j in range(0, r - 1, 2):
+        a, bb = pres(j), pres(j + 1)
+        s_planes.append(a ^ bb)
+        c_planes.append(a & bb)
+    if r % 2:
+        s_planes.append(pres(r - 1))
+        c_planes.append(jnp.zeros_like(s_planes[-1]))
+    p0 = jnp.stack(s_planes, axis=2).reshape(b, -1, w)
+    p1 = jnp.stack(c_planes, axis=2).reshape(b, -1, w)
+    return csa_counts_planes([p0, p1], axis=1)
+
+
 CASES = {
     "floor16": ("gather floor (RUN=6, T16)", gather_floor, 6, 16),
     "floor24": ("gather floor (RUN=8, T24)", gather_floor, 8, 24),
@@ -175,6 +210,12 @@ CASES = {
     "split16": (
         "split gather x2 (RUN=6, T16)",
         lambda t_, u_, g_: grouped_split(t_, u_, g_, 16), 6, 16),
+    "inline16": (
+        "inline csa level-1 (RUN=6, T16)",
+        lambda t_, u_, g_: grouped_counts_inline_csa(t_, u_, g_, 16), 6, 16),
+    "inline32r10": (
+        "inline csa level-1 (RUN=10, T32)",
+        lambda t_, u_, g_: grouped_counts_inline_csa(t_, u_, g_, 32), 10, 32),
 }
 
 
