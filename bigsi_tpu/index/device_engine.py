@@ -73,6 +73,20 @@ def _counts_batch_grouped(tiles, utile, gmask, tile_rows):
     return grouped_counts(tiles, utile, gmask, tile_rows)
 
 
+@jax.jit
+def _counts_batch_cols(cols, utile, gmask, n_valid):
+    from bigsi_tpu.ops.lookup import grouped_counts_cols
+
+    return grouped_counts_cols(cols, utile, gmask, n_valid)
+
+
+@jax.jit
+def _cols_and(cols, tile_idx, slot_mask):
+    from bigsi_tpu.ops.lookup import cols_presence
+
+    return cols_presence(cols, tile_idx, slot_mask)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_rows",))
 def _blocked_and(tiles, tile_idx, slot_mask, tile_rows):
     return blocked_presence(tiles, tile_idx, slot_mask, tile_rows)
@@ -159,11 +173,30 @@ class DeviceEngine:
             (minimizer_window + 1) // 2 if minimizer_window else None
         )
         self.w = matrix.num_words
+        self.cols = None
         if layout in ("blocked", "minimizer"):
             self.words = jax.device_put(
                 tile_pack(np.asarray(matrix.words), tile_rows), self.device
             )
             self.g = None
+            import os
+
+            if layout == "minimizer" and not (
+                os.environ.get("BIGSI_TPU_FUSED_KERNEL") == "1"
+                and tile_rows == 32
+            ):
+                from bigsi_tpu.ops.lookup import cols_dtype, pack_tile_cols
+
+                if cols_dtype(tile_rows) is not None:
+                    # column-major derived layout: ONE compare per
+                    # sample replaces the masked AND-reduce + csa tree
+                    # (2.8x on chip, scripts/probe_r3.py).  Same bits,
+                    # so the row-major copy is dropped after packing.
+                    self.cols = jax.jit(
+                        pack_tile_cols, static_argnums=1, device=self.device
+                    )(self.words, tile_rows)
+                    self.cols.block_until_ready()
+                    self.words = None
         else:
             fat, self.g = fat_pack(np.asarray(matrix.words))
             self.words = jax.device_put(fat, self.device)
@@ -185,6 +218,13 @@ class DeviceEngine:
             sm[:k] = np.bitwise_or.reduce(
                 np.uint32(1) << (row_idx % tr).astype(np.uint32), axis=1
             )
+            if self.cols is not None:
+                packed = _cols_and(
+                    self.cols,
+                    jax.device_put(tile, self.device),
+                    jax.device_put(sm, self.device),
+                )
+                return _PackedQuery(packed, k)
             packed = _blocked_and(
                 self.words,
                 jax.device_put(tile, self.device),
@@ -279,6 +319,17 @@ class DeviceEngine:
                 utile, gmask = build_grouped_streams(
                     tile, sm, r=self.run_len or GROUP_R
                 )
+                if self.cols is not None:
+                    n_valid = mask.sum(axis=1).astype(np.int32)
+                    counts = _counts_batch_cols(
+                        self.cols,
+                        jax.device_put(utile, self.device),
+                        jax.device_put(gmask, self.device),
+                        jax.device_put(n_valid, self.device),
+                    )
+                    return np.asarray(counts)[:orig_b, :num_cols].astype(
+                        np.int64
+                    )
                 counts = _counts_batch_grouped(
                     self.words,
                     jax.device_put(utile, self.device),
@@ -326,6 +377,7 @@ class DeviceEngine:
             os.environ.get("BIGSI_TPU_FUSED_KERNEL") == "1"
             and self.layout == "minimizer"
             and self.tile_rows == 32
+            and self.words is not None  # cols engines drop row-major
             and self.words.shape[1] == 32 * 32
             and self.device.platform != "cpu"
         )

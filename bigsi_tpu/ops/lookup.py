@@ -324,6 +324,128 @@ def grouped_counts(
     return csa_counts(rows, axis=1)
 
 
+def cols_dtype(tile_rows: int):
+    """Narrowest unsigned dtype holding one sample's tile column."""
+    if tile_rows <= 8:
+        return jnp.uint8
+    if tile_rows <= 16:
+        return jnp.uint16
+    if tile_rows <= 32:
+        return jnp.uint32
+    return None  # tile_rows > 32: no cols layout (use grouped_counts)
+
+
+def pack_tile_cols(tiles: jax.Array, tile_rows: int = TILE_ROWS) -> jax.Array:
+    """Row-major tiles -> column-major tile columns (derived layout).
+
+    ``tiles`` uint32[T, tile_rows*W] (bitslice rows, sample bit n at
+    word n//32 bit n%32) -> ``cols`` uintX[T, W*32] where ``cols[t, n]``
+    holds sample n's tile_rows-bit column (bit s = row s of the tile).
+
+    Same bits, transposed within each tile: lets the query path test a
+    k-mer's h rows with ONE compare per sample —
+    ``(col & slot_mask) == slot_mask`` — instead of a masked AND-reduce
+    across tile_rows bitslice rows (see :func:`grouped_counts_cols`).
+    Derived on device from the canonical row-major matrix at engine
+    load; never persisted.
+
+    Chunked with ``lax.map`` over tile blocks: the 32x bit-unpack
+    intermediate is bounded per chunk instead of materializing
+    ~12 GB at the m=2.5e7 config.
+    """
+    t, x = tiles.shape
+    w = x // tile_rows
+    dtype = cols_dtype(tile_rows)
+
+    def pack_chunk(chunk):
+        tc = chunk.shape[0]
+        g = chunk.reshape(tc, tile_rows, w, 1)
+        bits = (g >> _bit_shifts().reshape(1, 1, 1, 32)) & jnp.uint32(1)
+        rows = jnp.arange(tile_rows, dtype=jnp.uint32).reshape(
+            1, tile_rows, 1, 1
+        )
+        cols = jax.lax.reduce(
+            bits << rows, jnp.uint32(0), jax.lax.bitwise_or, (1,)
+        )  # [tc, w, 32]
+        return cols.reshape(tc, w * 32).astype(dtype)
+
+    chunk = 65536
+    if t <= chunk:
+        return pack_chunk(tiles)
+    nfull = t // chunk
+    body = jax.lax.map(
+        pack_chunk, tiles[: nfull * chunk].reshape(nfull, chunk, x)
+    ).reshape(nfull * chunk, w * 32)
+    if nfull * chunk == t:
+        return body
+    return jnp.concatenate([body, pack_chunk(tiles[nfull * chunk :])])
+
+
+def grouped_counts_cols(
+    cols: jax.Array, utile: jax.Array, gmask: jax.Array, n_valid: jax.Array
+):
+    """Grouped-layout hit counts over the column-major tile layout.
+
+    cols uintX[T, N] (see :func:`pack_tile_cols`), utile int32[B, U],
+    gmask uint32[B, U, R] (0 = padding slot), n_valid int32[B] (count of
+    valid k-mers per query) -> counts int32[B, N].
+
+    Presence of k-mer j of entry u at sample n is
+    ``(cols[utile, n] & gmask) == gmask`` — h-row membership tested in
+    ONE compare per sample instead of a masked AND-reduce over
+    tile_rows rows.  The whole step is a single fused XLA reduction
+    over U (gather -> compare -> sum), so the gathered tiles stream
+    from HBM once and nothing per-slot materializes.  Padding slots
+    (gmask == 0) compare true everywhere; the fixed overcount
+    ``U*R - n_valid`` is subtracted at the end.
+
+    Bit-exact vs :func:`grouped_counts` on the same streams
+    (tests/test_layout.py); measured 2.8x faster on chip at the bench
+    config (0.289 vs 0.812 ms/step, B=256 K=512 RUN=8 tile_rows=16 —
+    scripts/probe_r3.py colssplit2_16r8): the csa tree and the per-slot
+    expansion passes disappear.  The U-sum runs as TWO independent
+    half-U reduction chains ("split2") — measured 1.6x over one chain
+    (XLA overlaps the two gather+compare+reduce pipelines).
+    """
+    b, u = utile.shape
+    gm = gmask.astype(cols.dtype)
+    halves = (slice(0, u // 2), slice(u // 2, u)) if u >= 2 else (slice(0, u),)
+    counts = None
+    for sl in halves:
+        g = jnp.take(cols, utile[:, sl].reshape(-1), axis=0).reshape(
+            b, utile[:, sl].shape[1], -1
+        )
+        part = None
+        for j in range(gmask.shape[2]):
+            gmj = gm[:, sl, j][:, :, None]
+            pj = ((g & gmj) == gmj).astype(jnp.int32)
+            part = pj if part is None else part + pj
+        s = part.sum(axis=1, dtype=jnp.int32)  # [B, N]
+        counts = s if counts is None else counts + s
+    pad = jnp.int32(u * gmask.shape[2]) - n_valid.astype(jnp.int32)
+    return counts - pad[:, None]
+
+
+def cols_presence(
+    cols: jax.Array, tile_idx: jax.Array, slot_mask: jax.Array
+) -> jax.Array:
+    """Per-k-mer presence rows from the column-major layout.
+
+    cols uintX[T, N], tile_idx int32[K], slot_mask uint32[K] (0 = pad)
+    -> packed presence uint32[K, W] (bit n%32 of word n//32 = presence
+    at sample n), matching :func:`blocked_presence` bit-for-bit —
+    padding k-mers (slot_mask 0) produce the AND identity (all-ones),
+    and zero-padded samples produce 0.
+    """
+    g = jnp.take(cols, tile_idx, axis=0)  # [K, N]
+    sm = slot_mask.astype(g.dtype)[:, None]
+    bits = ((g & sm) == sm).astype(jnp.uint32)  # [K, N] 0/1
+    k, n = bits.shape
+    w = n // 32
+    words = bits.reshape(k, w, 32) << _bit_shifts().reshape(1, 1, 32)
+    return jax.lax.reduce(words, jnp.uint32(0), jax.lax.bitwise_or, (2,))
+
+
 def make_full_query_step(m: int, h: int):
     """ONE-program serving step: raw ASCII k-mers in, hit counts out.
 

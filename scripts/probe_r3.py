@@ -219,12 +219,119 @@ CASES = {
 }
 
 
+# Column-major tile layout (round 3): presence = (col & gmask) == gmask,
+# ONE compare per sample — no masked AND-reduce, no csa tree.  The whole
+# step is a single fused XLA gather -> compare -> sum reduction.
+COLS_CASES = {
+    "cols16": ("cols layout (RUN=6, T16)", 6, 16),
+    "cols16r8": ("cols layout (RUN=8, T16) dense", 8, 16),
+    "cols32r10": ("cols layout (RUN=10, T32) dense", 10, 32),
+    "cols8r6": ("cols layout (RUN=6, T8)", 6, 8),
+}
+
+
+def _cols_compare_parts(g, gmask):
+    """Per-entry int32 partial counts: sum of the r presence compares."""
+    import jax.numpy as jnp
+
+    r = gmask.shape[2]
+    gm = gmask.astype(g.dtype)
+    part = None
+    for j in range(r):
+        gmj = gm[:, :, j][:, :, None]
+        pj = ((g & gmj) == gmj).astype(jnp.int32)
+        part = pj if part is None else part + pj
+    return part
+
+
+def make_cols_variant(kind):
+    import jax.numpy as jnp
+
+    def fn(cols, utile, gmask):
+        b, u = utile.shape
+        g = jnp.take(cols, utile.reshape(-1), axis=0).reshape(b, u, -1)
+        if kind == "floor":  # gather read floor: fused XOR fold
+            return jax.lax.reduce(
+                g.astype(jnp.uint32), jnp.uint32(0), jax.lax.bitwise_xor, (0, 1)
+            ).astype(jnp.int32)[None]
+        if kind == "nosum":  # compares, XOR-folded (isolates sum cost)
+            part = _cols_compare_parts(g, gmask)
+            return jax.lax.reduce(
+                part.astype(jnp.uint32), jnp.uint32(0), jax.lax.bitwise_xor, (1,)
+            ).astype(jnp.int32)
+        if kind == "split2":  # two independent half-U chains
+            h = u // 2
+            out = None
+            for sl in (slice(0, h), slice(h, u)):
+                part = _cols_compare_parts(g[:, sl], gmask[:, sl])
+                s = part.sum(axis=1, dtype=jnp.int32)
+                out = s if out is None else out + s
+            return out
+        if kind == "split4":
+            q = u // 4
+            out = None
+            for i in range(4):
+                sl = slice(i * q, (i + 1) * q)
+                part = _cols_compare_parts(g[:, sl], gmask[:, sl])
+                s = part.sum(axis=1, dtype=jnp.int32)
+                out = s if out is None else out + s
+            return out
+        if kind == "mxu":  # U-sum as a bf16 matvec on the MXU
+            part = _cols_compare_parts(g, gmask).astype(jnp.bfloat16)
+            ones = jnp.ones((u,), jnp.bfloat16)
+            return jnp.einsum(
+                "bun,u->bn", part, ones,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+        raise ValueError(kind)
+
+    return fn
+
+
+COLS_VARIANTS = {
+    "colsfloor16r8": ("cols gather floor (RUN=8, T16)", "floor", 8, 16),
+    "colsnosum16r8": ("cols compares no-sum (RUN=8, T16)", "nosum", 8, 16),
+    "colssplit2_16r8": ("cols split2 (RUN=8, T16)", "split2", 8, 16),
+    "colssplit4_16r8": ("cols split4 (RUN=8, T16)", "split4", 8, 16),
+    "colsmxu16r8": ("cols MXU matvec sum (RUN=8, T16)", "mxu", 8, 16),
+    "colssplit2_16r6": ("cols split2 (RUN=6, T16)", "split2", 6, 16),
+    "colsmxu16r6": ("cols MXU matvec sum (RUN=6, T16)", "mxu", 6, 16),
+}
+
+
 def main():
-    names = sys.argv[1:] or list(CASES)
+    names = sys.argv[1:] or (
+        list(CASES) + list(COLS_CASES) + list(COLS_VARIANTS)
+    )
     rng = np.random.default_rng(0)
     dev = jax.devices()[0]
     print("device:", dev, flush=True)
     for name in names:
+        if name in COLS_CASES or name in COLS_VARIANTS:
+            from bigsi_tpu.ops.lookup import grouped_counts_cols, pack_tile_cols
+
+            if name in COLS_CASES:
+                label, run, tile_rows = COLS_CASES[name]
+                n_valid = jax.device_put(np.full(B, K, dtype=np.int32), dev)
+
+                def cols_fn(c_, u_, g_):
+                    return grouped_counts_cols(c_, u_, g_, n_valid)
+            else:
+                label, kind, run, tile_rows = COLS_VARIANTS[name]
+                cols_fn = make_cols_variant(kind)
+            tiles, utile, gmask, t = make_inputs(run, tile_rows, rng)
+            cols = jax.jit(pack_tile_cols, static_argnums=1)(tiles, tile_rows)
+            cols.block_until_ready()
+            del tiles
+            dt = marginal(chain(cols_fn, cols, utile, gmask, t))
+            rows = B * K * H
+            print(
+                "%-8s %-38s %7.3f ms/step  %7.1f Mrows/s  (U=%d)"
+                % (name, label, dt * 1e3, rows / dt / 1e6, utile.shape[1]),
+                flush=True,
+            )
+            del cols
+            continue
         label, fn, run, tile_rows = CASES[name]
         tiles, utile, gmask, t = make_inputs(run, tile_rows, rng)
         dt = marginal(chain(fn, tiles, utile, gmask, t))

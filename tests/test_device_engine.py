@@ -220,8 +220,12 @@ def test_fused_kernel_env_gate(monkeypatch):
     from bigsi_tpu.matrix.bitmatrix import BitSliceMatrix
 
     words = np.zeros((1024, 32), dtype=np.uint32)  # m=1024, W=32
+    # the fused kernel needs the row-major tiles, which a cols engine
+    # drops at init — so the flag must be set BEFORE construction
+    monkeypatch.setenv("BIGSI_TPU_FUSED_KERNEL", "1")
     matrix = BitSliceMatrix(words, num_cols=1024)
     eng = DeviceEngine(matrix, layout="minimizer", tile_rows=32)
+    assert eng.words is not None and eng.cols is None
 
     class FakeDev:
         platform = "tpu"

@@ -250,6 +250,57 @@ def test_grouped_counts_tile_rows_16_matches_blocked():
     assert np.array_equal(got, want)
 
 
+@pytest.mark.parametrize("tr", [8, 16, 32])
+def test_grouped_counts_cols_matches_grouped(tr):
+    import jax.numpy as jnp
+
+    from bigsi_tpu.ops.lookup import (
+        build_grouped_streams,
+        grouped_counts,
+        grouped_counts_cols,
+        pack_tile_cols,
+    )
+
+    rng = np.random.default_rng(7)
+    T, W, B, K = 23, 4, 5, 48
+    tiles = rng.integers(0, 2 ** 32, size=(T, tr * W), dtype=np.uint32)
+    tile = rng.integers(0, T, size=(B, K)).astype(np.int32)
+    tile[:, 3:14] = tile[:, 3:4]  # a run longer than GROUP_R (spills)
+    slots = rng.integers(0, tr, size=(B, K, 3)).astype(np.uint32)
+    smask = np.bitwise_or.reduce(np.uint32(1) << slots, axis=2)
+    smask[rng.random((B, K)) < 0.25] = 0  # padding k-mers
+
+    utile, gmask = build_grouped_streams(tile, smask)
+    n_valid = (smask != 0).sum(axis=1).astype(np.int32)
+    cols = pack_tile_cols(jnp.asarray(tiles), tr)
+    got = np.asarray(
+        grouped_counts_cols(
+            cols, jnp.asarray(utile), jnp.asarray(gmask), jnp.asarray(n_valid)
+        )
+    )
+    want = np.asarray(
+        grouped_counts(jnp.asarray(tiles), jnp.asarray(utile), jnp.asarray(gmask), tr)
+    )
+    assert np.array_equal(got, want)
+
+
+def test_pack_tile_cols_bit_layout():
+    import jax.numpy as jnp
+
+    from bigsi_tpu.ops.lookup import pack_tile_cols
+
+    tr, W = 16, 2
+    tiles = np.zeros((1, tr * W), dtype=np.uint32)
+    # set row 5, sample 37 (word 1, bit 5) and row 0, sample 0
+    tiles[0].reshape(tr, W)[5, 1] |= np.uint32(1) << 5
+    tiles[0].reshape(tr, W)[0, 0] |= np.uint32(1)
+    cols = np.asarray(pack_tile_cols(jnp.asarray(tiles), tr))
+    assert cols.dtype == np.uint16
+    assert cols[0, 37] == (1 << 5)
+    assert cols[0, 0] == 1
+    assert cols[0, 1:37].sum() == 0 and cols[0, 38:].sum() == 0
+
+
 @pytest.mark.parametrize("engine", ["numpy", "tpu"])
 def test_end_to_end_tile_rows_16(engine):
     from bigsi_tpu.hashing.scheme import MINIMIZER
