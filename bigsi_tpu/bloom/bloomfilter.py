@@ -20,7 +20,7 @@ from bigsi_tpu.matrix.packing import bloom_bytes_to_bools, bools_to_bloom_bytes
 def build_bloom_from_kmer_matrix(
     kmers: np.ndarray, m: int, h: int, out: np.ndarray | None = None,
     layout: str = "classic", tile_rows: int = 32,
-    window: int | None = None,
+    window: int | None = None, slot_scheme: int | None = None,
 ) -> np.ndarray:
     """Set the Bloom bits for an ASCII k-mer matrix [K, k] -> bool [m]."""
     import os
@@ -39,9 +39,14 @@ def build_bloom_from_kmer_matrix(
             # materializing the [K, h] index matrix entirely
             if native.bloom_insert_batch(kmers, h, m, out.view(np.uint8)):
                 return out
-        from bigsi_tpu.hashing.scheme import row_indices
+        from bigsi_tpu.hashing.scheme import default_slot_scheme, row_indices
 
-        idx = row_indices(kmers, h, m, layout, tile_rows, window=window)
+        if slot_scheme is None:
+            slot_scheme = default_slot_scheme(layout)
+        idx = row_indices(
+            kmers, h, m, layout, tile_rows, window=window,
+            slot_scheme=slot_scheme,
+        )
         out[idx.ravel()] = True
     return out
 
@@ -51,13 +56,18 @@ class BloomFilter:
 
     def __init__(
         self, m: int, h: int, layout: str = "classic", tile_rows: int = 32,
-        window: int | None = None,
+        window: int | None = None, slot_scheme: int | None = None,
     ):
         self.m = int(m)
         self.h = int(h)
         self.layout = layout
         self.tile_rows = int(tile_rows)
         self.window = window
+        if slot_scheme is None:
+            from bigsi_tpu.hashing.scheme import default_slot_scheme
+
+            slot_scheme = default_slot_scheme(layout)
+        self.slot_scheme = int(slot_scheme)
         self.array = np.zeros(self.m, dtype=bool)
 
     @property
@@ -71,6 +81,7 @@ class BloomFilter:
             idx = row_indices(
                 seq_to_ascii(element)[None, :], self.h, self.m,
                 self.layout, self.tile_rows, window=self.window,
+                slot_scheme=self.slot_scheme,
             )
             self.array[idx.ravel()] = True
             return
@@ -86,6 +97,7 @@ class BloomFilter:
                 build_bloom_from_kmer_matrix(
                     mat, self.m, self.h, out=self.array, layout=self.layout,
                     tile_rows=self.tile_rows, window=self.window,
+                    slot_scheme=self.slot_scheme,
                 )
             else:
                 for e in elems:

@@ -17,10 +17,14 @@ import yaml
 
 from bigsi_tpu.constants import DEFAULT_CONFIG
 
+from bigsi_tpu.hashing.scheme import (  # single source of truth
+    KNOWN_TILE_ROWS,
+    LAYOUTS as KNOWN_LAYOUTS,
+    SLOT_SCHEMES,
+)
+
 REQUIRED_KEYS = ("k", "m", "h")
 KNOWN_ENGINES = ("numpy", "tpu", "mesh", "distributed")
-KNOWN_LAYOUTS = ("classic", "blocked", "minimizer")
-KNOWN_TILE_ROWS = (8, 16, 32, 64)
 
 
 def get_config_from_file(config_file: str | None) -> dict:
@@ -75,6 +79,22 @@ def validate_config(config: dict) -> dict:
             raise ValueError(
                 "row sharding (mesh[3] > 1) needs a tile layout "
                 "(blocked/minimizer)"
+            )
+    slot_scheme = config.get("slot-scheme")
+    if slot_scheme is not None:
+        if layout != "minimizer":
+            raise ValueError(
+                "'slot-scheme' only applies to the minimizer layout"
+            )
+        if slot_scheme not in SLOT_SCHEMES:
+            raise ValueError(
+                "'slot-scheme' must be one of %s, got %r"
+                % (list(SLOT_SCHEMES), slot_scheme)
+            )
+        if slot_scheme == 2 and config.get("h", 0) > 5:
+            raise ValueError(
+                "slot scheme v2 derives h slots from one 32-bit hash and "
+                "supports h <= 5; got h=%r" % (config.get("h"),)
             )
     window = config.get("minimizer-window")
     if window is not None:

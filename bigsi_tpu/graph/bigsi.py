@@ -114,13 +114,17 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
 
     @classmethod
     def bloom(cls, config, kmers):
+        from bigsi_tpu.hashing.scheme import default_slot_scheme
+
         kmers = convert_query_kmers(kmers)
+        layout = config.get("layout", "classic")
         bloomfilter = BloomFilter(
             m=config["m"],
             h=config["h"],
-            layout=config.get("layout", "classic"),
+            layout=layout,
             tile_rows=config.get("tile-rows", 32),
             window=config.get("minimizer-window"),
+            slot_scheme=default_slot_scheme(layout, config),
         )
         bloomfilter.update(kmers)
         return bloomfilter.bitarray
@@ -132,15 +136,19 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         with phase("build.metadata"):
             SampleMetadata(storage.kv).add_samples(samples)
         with device_trace("build.index", config):
+            from bigsi_tpu.hashing.scheme import default_slot_scheme
+
+            layout = config.get("layout", "classic")
             KmerSignatureIndex.create(
                 storage,
                 bloomfilters,
                 config["m"],
                 config["h"],
                 config.get("low_mem_build", False),
-                layout=config.get("layout", "classic"),
+                layout=layout,
                 tile_rows=config.get("tile-rows", 32),
                 minimizer_window=config.get("minimizer-window"),
+                slot_scheme=default_slot_scheme(layout, config),
             )
         storage.close()
         metrics.incr("build.samples", len(samples))
@@ -196,6 +204,33 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         if score or len(seqs) <= 1:
             return [self.search(s, threshold, score) for s in seqs]
         h = self.num_hashes
+        b = len(seqs)
+        engine = self.engine
+        if getattr(engine, "supports_kmer_batch", lambda: False)():
+            # fused serving path: distinct ASCII k-mers straight to the
+            # threaded native prep + one device program per chunk — no
+            # per-query hashing round-trips on this side
+            mats, nks = [], []
+            for seq in seqs:
+                kmer_mat = seq_to_kmer_matrix(seq, self.kmer_size)
+                uniq, _ = unique_rows_with_inverse(kmer_mat)
+                mats.append(uniq)
+                nks.append(uniq.shape[0])
+            qstart = np.zeros(b + 1, dtype=np.int64)
+            np.cumsum(nks, out=qstart[1:])
+            kmer_rows = (
+                np.concatenate(mats)
+                if qstart[-1]
+                else np.empty((0, self.kmer_size), dtype=np.uint8)
+            )
+            with phase("search.batch_counts"):
+                counts = engine.counts_batch_kmers(
+                    kmer_rows, qstart, h, self.num_samples
+                )
+            per_query = [(None, nk) for nk in nks]
+            metrics.incr("search.queries", b)
+            metrics.incr("search.kmers", int(qstart[-1]))
+            return self._batch_results(per_query, counts, threshold)
         per_query = []  # (row_idx [K_i, h], num_kmers)
         kmax = 1
         for seq in seqs:
@@ -207,7 +242,6 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             row_idx = self.kmer_matrix_to_row_idx(uniq)
             per_query.append((row_idx, uniq.shape[0]))
             kmax = max(kmax, uniq.shape[0])
-        b = len(seqs)
         idx = np.zeros((b, kmax, h), dtype=np.int64)
         mask = np.zeros((b, kmax), dtype=bool)
         for i, (row_idx, nk) in enumerate(per_query):
@@ -217,6 +251,9 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             counts = self._counts_batch(idx, mask)
         metrics.incr("search.queries", b)
         metrics.incr("search.kmers", int(mask.sum()))
+        return self._batch_results(per_query, counts, threshold)
+
+    def _batch_results(self, per_query, counts, threshold):
         out = []
         for i, (_, num_kmers) in enumerate(per_query):
             if num_kmers == 0:
@@ -314,6 +351,7 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         assert self.layout == bigsi.layout
         assert self.tile_rows == bigsi.tile_rows
         assert self.minimizer_window == bigsi.minimizer_window
+        assert self.slot_scheme == bigsi.slot_scheme
 
     def merge(self, bigsi):
         self.__validate_merge(bigsi)

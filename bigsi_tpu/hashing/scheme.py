@@ -95,7 +95,41 @@ for _a, _b in zip(b"ACGT", b"TGCA"):
 # normalization: fetch count, expansion work, and popcount work are all
 # independent of m — only the index footprint grows.
 TILE_ROWS = 32
-KNOWN_TILE_ROWS = (8, 16, 24, 32, 64)
+# power-of-two tile heights only: they map to whole device lanes and the
+# v2 slot bit-field derivation assumes them (24 was dropped — it was
+# accepted here but rejected by config validation and broke tile_pack's
+# 128-lane alignment; config.py imports THIS constant now)
+KNOWN_TILE_ROWS = (8, 16, 32, 64)
+
+# Slot schemes for the blocked/minimizer layouts (an index-wide choice
+# persisted as ``ksi:slot_scheme``; classic is untouched — it is the
+# reference-parity scheme, bigsi/bloom/bloomfilter.py:5-13):
+#
+# * v1 — h independent murmurs mod tile_rows; window order hash =
+#   min(murmur(smer), murmur(revcomp smer)).  Legacy persisted indexes.
+# * v2 (default for new minimizer builds) — slot_j =
+#   (murmur3(canonical kmer, 0) >> (6*j)) % tile_rows (disjoint bit
+#   fields of ONE murmur; requires h <= 5), window order hash =
+#   murmur3(lexmin(smer, revcomp smer), seed) (ONE murmur per window).
+#   Both stay strand-invariant; host hashing on the serving critical
+#   path drops ~3x, and the whole prep fuses into one threaded C pass
+#   (native/bigsi_native.cpp:prep_minimizer_v2).
+SLOT_SCHEME_V1 = 1
+SLOT_SCHEME_V2 = 2
+SLOT_SCHEMES = (SLOT_SCHEME_V1, SLOT_SCHEME_V2)
+
+
+def default_slot_scheme(layout: str, config: dict | None = None) -> int:
+    """Scheme for a NEW build: config override, else v2 for minimizer.
+
+    Persisted indexes carry their own ``ksi:slot_scheme`` (absent = v1),
+    so old indexes keep querying with the scheme they were built with.
+    """
+    if layout != MINIMIZER:
+        return SLOT_SCHEME_V1
+    if config is not None and config.get("slot-scheme") is not None:
+        return int(config["slot-scheme"])
+    return SLOT_SCHEME_V2
 
 
 def _hashes(kmers: np.ndarray, seeds) -> np.ndarray:
@@ -119,7 +153,7 @@ def window_to_s(k: int, window: int | None) -> int | None:
 def row_indices(
     kmers: np.ndarray, h: int, m: int, layout: str = CLASSIC,
     tile_rows: int = TILE_ROWS, tile_source: np.ndarray | None = None,
-    window: int | None = None,
+    window: int | None = None, slot_scheme: int = SLOT_SCHEME_V1,
 ) -> np.ndarray:
     """Canonical ASCII k-mer matrix [K, k] -> bloom row indices int64 [K, h].
 
@@ -138,12 +172,15 @@ def row_indices(
         return hash_kmer_matrix(kmers, h, m)
     num_tiles = max(1, m // tile_rows)
     if layout == MINIMIZER:
-        from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
-
         src = kmers if tile_source is None else tile_source
         s = window_to_s(kmers.shape[1], window)
-        tile = minimizer_tiles(src, num_tiles, s)  # [K]
-        slots = hash_kmer_matrix(kmers, h, tile_rows)  # [K, h] (native)
+        tile = minimizer_tiles(src, num_tiles, s, scheme=slot_scheme)  # [K]
+        if slot_scheme == SLOT_SCHEME_V2:
+            slots = slot_hashes_v2(kmers, h, tile_rows)  # [K, h]
+        else:
+            from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
+
+            slots = hash_kmer_matrix(kmers, h, tile_rows)  # [K, h] (native)
         return tile[:, None] * tile_rows + slots
     if layout != BLOCKED:
         raise ValueError("unknown layout %r" % layout)
@@ -151,6 +188,23 @@ def row_indices(
     tile = np.mod(hs[:, :1], num_tiles)  # [K, 1]
     slots = np.mod(hs[:, 1:], tile_rows)  # [K, h]
     return tile * tile_rows + slots
+
+
+def slot_hashes_v2(kmers: np.ndarray, h: int, tile_rows: int) -> np.ndarray:
+    """Scheme-v2 tile slots: disjoint 6-bit fields of ONE murmur3.
+
+    Canonical ASCII k-mers [K, k] -> int64 [K, h] in [0, tile_rows).
+    Strand handling is the caller's job (pass canonical k-mers), exactly
+    like v1's ``hash_kmer_matrix``.  Requires ``h <= 5`` (6*h <= 32 hash
+    bits; config validation enforces it for v2 minimizer builds).
+    """
+    if h > 5:
+        raise ValueError("slot scheme v2 supports h <= 5, got h=%d" % h)
+    hv = murmur3_32_batch(kmers, np.asarray([0], dtype=np.uint32))[
+        :, 0
+    ].view(np.uint32)
+    shifts = (np.arange(h, dtype=np.uint32) * np.uint32(6))[None, :]
+    return ((hv[:, None] >> shifts) % np.uint32(tile_rows)).astype(np.int64)
 
 
 def default_minimizer_s(k: int) -> int:
@@ -166,15 +220,19 @@ def default_minimizer_s(k: int) -> int:
     return max(1, k - 10)
 
 
-def minimizer_tiles(kmers: np.ndarray, num_tiles: int, s: int | None = None):
+def minimizer_tiles(
+    kmers: np.ndarray, num_tiles: int, s: int | None = None,
+    scheme: int = SLOT_SCHEME_V1,
+):
     """Canonical ASCII k-mer matrix [K, k] -> tile id int64 [K].
 
     The tile is chosen by the k-mer's *minimizer*: the smallest
-    strand-invariant murmur3 hash over all s-mer windows (an s-mer and
-    its reverse complement hash identically via min(h(x), h(rc(x)))).
-    Consecutive k-mers of a query share most windows, so their tiles
-    come in runs — the fused device kernel fetches each distinct tile
-    once per run (bigsi_tpu/ops/pallas_lookup.py).
+    strand-invariant window-order hash over all s-mer windows.  v1
+    orders windows by ``min(murmur(smer), murmur(rc(smer)))``; v2 by
+    ``murmur(lexmin(smer, rc(smer)))`` (one murmur per window — the
+    serving-path scheme).  Consecutive k-mers of a query share most
+    windows, so their tiles come in runs — the device kernel fetches
+    each distinct tile once per run.
 
     Purity: the tile depends only on the k-mer bytes (strand-invariant
     like the canonical form), so build and query agree.  The standard
@@ -192,19 +250,44 @@ def minimizer_tiles(kmers: np.ndarray, num_tiles: int, s: int | None = None):
         if not os.environ.get("BIGSI_TPU_NO_NATIVE"):
             from bigsi_tpu import native
 
-            fast = native.minimizer_tiles_batch(
-                kmers, s, MINIMIZER_SEED, num_tiles
+            fast = (
+                native.minimizer_tiles_v2(kmers, s, MINIMIZER_SEED, num_tiles)
+                if scheme == SLOT_SCHEME_V2
+                else native.minimizer_tiles_batch(
+                    kmers, s, MINIMIZER_SEED, num_tiles
+                )
             )
             if fast is not None:
                 return fast
     win = np.lib.stride_tricks.sliding_window_view(kmers, s, axis=1)
     flat = np.ascontiguousarray(win.reshape(K * w, s))
     seed = np.asarray([MINIMIZER_SEED & 0xFFFFFFFF], dtype=np.uint32)
-    hf = murmur3_32_batch(flat, seed)[:, 0].view(np.uint32)
     rc = np.ascontiguousarray(_COMP_TABLE[flat[:, ::-1]])
-    hr = murmur3_32_batch(rc, seed)[:, 0].view(np.uint32)
-    hcanon = np.minimum(hf, hr).reshape(K, w)
+    if scheme == SLOT_SCHEME_V2:
+        # canonical s-mer (lexicographic min of smer and revcomp), ONE
+        # murmur per window
+        pick = _lex_le(flat, rc)
+        canon = np.where(pick[:, None], flat, rc)
+        hcanon = (
+            murmur3_32_batch(np.ascontiguousarray(canon), seed)[:, 0]
+            .view(np.uint32)
+            .reshape(K, w)
+        )
+    else:
+        hf = murmur3_32_batch(flat, seed)[:, 0].view(np.uint32)
+        hr = murmur3_32_batch(rc, seed)[:, 0].view(np.uint32)
+        hcanon = np.minimum(hf, hr).reshape(K, w)
     return hcanon.min(axis=1).astype(np.int64) % num_tiles
+
+
+def _lex_le(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise lexicographic a <= b for uint8 matrices [K, s] -> bool [K]."""
+    diff = a != b
+    any_diff = diff.any(axis=1)
+    first = diff.argmax(axis=1)
+    rows = np.arange(a.shape[0])
+    lt = a[rows, first] < b[rows, first]
+    return ~any_diff | lt
 
 
 def tile_and_slots(kmers: np.ndarray, h: int, m: int, tile_rows: int = TILE_ROWS):

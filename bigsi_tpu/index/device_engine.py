@@ -163,11 +163,14 @@ class DeviceEngine:
     def __init__(
         self, matrix: BitSliceMatrix, device=None, layout="classic",
         tile_rows: int = TILE_ROWS, minimizer_window: int | None = None,
+        slot_scheme: int = 1,
     ):
         self.matrix = matrix
         self.device = device or jax.devices()[0]
         self.layout = layout
         self.tile_rows = tile_rows
+        self.slot_scheme = slot_scheme
+        self.minimizer_window = minimizer_window
         # grouped-stream run bucket: expected minimizer run ~(w+1)/2
         self.run_len = (
             (minimizer_window + 1) // 2 if minimizer_window else None
@@ -359,6 +362,126 @@ class DeviceEngine:
             self.w,
         )
         return np.asarray(counts)[:orig_b, :num_cols].astype(np.int64)
+
+    # -- fused serving path (minimizer layout, slot scheme v2) ---------
+
+    SERVE_CHUNK = 256  # queries per device dispatch in the fused path
+
+    def supports_kmer_batch(self) -> bool:
+        """True when the fused ASCII-kmers-in counts path is available:
+        minimizer layout, slot scheme v2, column-major tiles on device,
+        and the native prep library loaded."""
+        from bigsi_tpu import native
+
+        return (
+            self.layout == "minimizer"
+            and self.slot_scheme == 2
+            and self.cols is not None
+            and native.available()
+        )
+
+    def _prep_kmer_chunk(self, kmer_rows, qstart, h):
+        """One threaded native pass: ASCII k-mer rows -> device streams.
+
+        Returns (utile, gmask, n_valid) bucketed, gmask narrowed to
+        uint16 when tile_rows <= 16 (halves the host->device bytes; the
+        device compare casts to the cols dtype anyway).
+        """
+        from bigsi_tpu import native
+        from bigsi_tpu.hashing.scheme import (
+            MINIMIZER_SEED,
+            default_minimizer_s,
+            window_to_s,
+        )
+        from bigsi_tpu.ops.lookup import GROUP_R
+
+        k = kmer_rows.shape[1]
+        s = window_to_s(k, self.minimizer_window) or default_minimizer_s(k)
+        num_tiles = max(1, self.matrix.num_rows // self.tile_rows)
+        out = native.prep_minimizer_v2(
+            kmer_rows, qstart, s, MINIMIZER_SEED, num_tiles, h,
+            self.tile_rows, self.run_len or GROUP_R,
+        )
+        if out is None:
+            raise RuntimeError(
+                "native prep_minimizer_v2 unavailable — call "
+                "supports_kmer_batch() first"
+            )
+        utile, gmask, n_valid = out
+        if self.tile_rows <= 16:
+            gmask = gmask.astype(np.uint16)
+        return utile, gmask, n_valid
+
+    def _dispatch_kmer_chunk(self, prep, num_cols):
+        utile, gmask, n_valid = prep
+        b = utile.shape[0]
+        bb = 8
+        while bb < b:
+            bb *= 2
+        if bb != b:
+            utile = np.pad(utile, ((0, bb - b), (0, 0)))
+            gmask = np.pad(gmask, ((0, bb - b), (0, 0), (0, 0)))
+            n_valid = np.pad(n_valid, (0, bb - b))
+        counts = _counts_batch_cols(
+            self.cols,
+            jax.device_put(utile, self.device),
+            jax.device_put(gmask, self.device),
+            jax.device_put(n_valid, self.device),
+        )
+        return np.asarray(counts)[:b, :num_cols].astype(np.int64)
+
+    def counts_batch_kmers(
+        self, kmer_rows: np.ndarray, qstart: np.ndarray, h: int,
+        num_cols: int,
+    ) -> np.ndarray:
+        """Serving hot path: ASCII k-mers straight to per-query counts.
+
+        kmer_rows uint8[n, k] (concatenated per-query distinct k-mers,
+        overlap-friendly order), qstart int64[B+1] -> int64[B, num_cols].
+
+        Fuses the whole host side (canonicalize + minimizer + slot hash
+        + grouped-stream build) into ONE threaded C pass
+        (native/bigsi_native.cpp:prep_minimizer_v2) and the whole device
+        side into one fused XLA program per chunk
+        (ops/lookup.py:grouped_counts_cols).  Batches larger than
+        SERVE_CHUNK are processed in chunks with the NEXT chunk's host
+        prep overlapping the current chunk's device execution (the
+        native pass releases the GIL), so steady-state throughput is
+        bounded by max(host prep, device step), not their sum.
+        Replaces the reference's multiprocessing fan-out
+        (bigsi/__main__.py:276-283).
+        """
+        b = len(qstart) - 1
+        if b == 0:
+            return np.zeros((0, num_cols), dtype=np.int64)
+        chunk = self.SERVE_CHUNK
+        if b <= chunk:
+            return self._dispatch_kmer_chunk(
+                self._prep_kmer_chunk(kmer_rows, qstart, h), num_cols
+            )
+        from concurrent.futures import ThreadPoolExecutor
+
+        spans = [
+            (qstart[i], qstart[min(i + chunk, b)], i, min(i + chunk, b))
+            for i in range(0, b, chunk)
+        ]
+
+        def prep(span):
+            r0, r1, q0, q1 = span
+            qs = (qstart[q0 : q1 + 1] - qstart[q0]).astype(np.int64)
+            return self._prep_kmer_chunk(kmer_rows[r0:r1], qs, h)
+
+        out = np.zeros((b, num_cols), dtype=np.int64)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = pool.submit(prep, spans[0])
+            for i, span in enumerate(spans):
+                ready = pending.result()
+                if i + 1 < len(spans):
+                    pending = pool.submit(prep, spans[i + 1])
+                out[span[2] : span[3]] = self._dispatch_kmer_chunk(
+                    ready, num_cols
+                )
+        return out
 
     def _use_fused(self) -> bool:
         """Fused Pallas path: minimizer layout, exactly 32 words per

@@ -22,6 +22,8 @@ from bigsi_tpu.hashing.scheme import (
     CLASSIC,
     KNOWN_TILE_ROWS,
     LAYOUTS,
+    SLOT_SCHEME_V1,
+    SLOT_SCHEMES,
     TILE_ROWS as DEFAULT_TILE_ROWS,
     row_indices,
 )
@@ -38,7 +40,10 @@ from bigsi_tpu.matrix.packing import pack_bits_lsb, unpack_bits_lsb
 logger = logging.getLogger(__name__)
 
 
-def _make_engine(factory, matrix, layout, tile_rows, minimizer_window=None):
+def _make_engine(
+    factory, matrix, layout, tile_rows, minimizer_window=None,
+    slot_scheme=SLOT_SCHEME_V1,
+):
     """Engines that understand hash layouts get told which one is live;
     plain row-gather engines (any layout is just absolute rows to them)
     are constructed bare."""
@@ -55,6 +60,8 @@ def _make_engine(factory, matrix, layout, tile_rows, minimizer_window=None):
         kwargs["tile_rows"] = tile_rows
     if "minimizer_window" in params:
         kwargs["minimizer_window"] = minimizer_window
+    if "slot_scheme" in params:
+        kwargs["slot_scheme"] = slot_scheme
     return factory(matrix, **kwargs)
 
 
@@ -63,6 +70,7 @@ NUM_HASH_FUNCTS_KEY = "ksi:num_hashes"
 LAYOUT_KEY = "ksi:layout"
 TILE_ROWS_KEY = "ksi:tile_rows"
 MINIMIZER_WINDOW_KEY = "ksi:minimizer_window"
+SLOT_SCHEME_KEY = "ksi:slot_scheme"
 
 
 class KmerSignatureIndex:
@@ -84,11 +92,15 @@ class KmerSignatureIndex:
             )
         except KeyError:
             self.minimizer_window = None  # default: w=11, runs ~6
+        try:
+            self.slot_scheme = storage.kv.get_integer(SLOT_SCHEME_KEY)
+        except KeyError:
+            self.slot_scheme = SLOT_SCHEME_V1  # legacy persisted indexes
         self.bitmatrix = storage.load_matrix()
         factory = engine_factory or HostEngine
         self.engine = _make_engine(
             factory, self.bitmatrix, self.layout, self.tile_rows,
-            self.minimizer_window,
+            self.minimizer_window, self.slot_scheme,
         )
 
     @classmethod
@@ -102,6 +114,7 @@ class KmerSignatureIndex:
         layout=CLASSIC,
         tile_rows=DEFAULT_TILE_ROWS,
         minimizer_window=None,
+        slot_scheme=None,
     ) -> "KmerSignatureIndex":
         bloomfilters = [
             bf.bitarray if hasattr(bf, "bitarray") else np.asarray(bf)
@@ -114,10 +127,17 @@ class KmerSignatureIndex:
                 "tile_rows must be one of %s, got %r"
                 % (list(KNOWN_TILE_ROWS), tile_rows)
             )
+        if slot_scheme is None:
+            from bigsi_tpu.hashing.scheme import default_slot_scheme
+
+            slot_scheme = default_slot_scheme(layout)
+        if slot_scheme not in SLOT_SCHEMES:
+            raise ValueError("unknown slot scheme %r" % slot_scheme)
         storage.kv.set_integer(BLOOMFILTER_SIZE_KEY, bloomfilter_size)
         storage.kv.set_integer(NUM_HASH_FUNCTS_KEY, num_hashes)
         storage.kv.set_string(LAYOUT_KEY, layout)
         storage.kv.set_integer(TILE_ROWS_KEY, tile_rows)
+        storage.kv.set_integer(SLOT_SCHEME_KEY, int(slot_scheme))
         if minimizer_window is not None:
             storage.kv.set_integer(
                 MINIMIZER_WINDOW_KEY, int(minimizer_window)
@@ -164,7 +184,7 @@ class KmerSignatureIndex:
         return row_indices(
             canon, self.num_hashes, self.bloomfilter_size, self.layout,
             self.tile_rows, tile_source=kmer_matrix,
-            window=self.minimizer_window,
+            window=self.minimizer_window, slot_scheme=self.slot_scheme,
         )
 
     # -- lookups ------------------------------------------------------

@@ -34,7 +34,17 @@ def _build() -> bool:
         )
         return True
     except Exception as e:  # noqa: BLE001 — any failure means "no native lib"
-        logger.debug("native build failed: %s", e)
+        detail = ""
+        if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+            detail = ": " + e.stderr.decode("utf-8", "replace").strip()[-500:]
+        logger.warning(
+            "native library build FAILED (%s%s) — host query prep falls "
+            "back to numpy, a ~60x serving-path slowdown; run "
+            "`make -C %s lib` to see the error",
+            e,
+            detail,
+            _NATIVE_DIR,
+        )
         return False
 
 
@@ -59,9 +69,20 @@ def _load():
                 ctypes.c_uint32,
             ]
             lib.grouped_streams.restype = ctypes.c_int64
+            lib.prep_minimizer_v2.restype = ctypes.c_int64
             _lib = lib
-        except OSError as e:
-            logger.warning("could not load native lib: %s", e)
+        except (OSError, AttributeError) as e:
+            logger.warning(
+                "could not load native lib (%s) — host query prep falls "
+                "back to numpy, a ~60x serving-path slowdown",
+                e,
+            )
+    elif os.path.exists(src):
+        logger.warning(
+            "native library missing at %s and the build did not produce "
+            "it — host query prep falls back to numpy (~60x slower)",
+            _LIB_PATH,
+        )
     return _lib
 
 
@@ -105,8 +126,8 @@ def minimizer_tiles_batch(
         return None
     kmers = np.ascontiguousarray(kmers, dtype=np.uint8)
     K, k = kmers.shape
-    if s > k or s > 64:
-        return None
+    if s < 1 or s > k or s > 64 or k - s + 1 > 64:
+        return None  # numpy fallback handles out-of-range windows
     out = np.empty(K, dtype=np.int64)
     lib.minimizer_tiles_batch(
         _ptr(kmers),
@@ -185,6 +206,94 @@ def grouped_streams(
         _ptr(gmask),
     )
     return utile, gmask, int(u_max)
+
+
+def minimizer_tiles_v2(
+    kmers: np.ndarray, s: int, seed: int, num_tiles: int
+) -> np.ndarray | None:
+    """Slot-scheme-v2 tiles: canonical s-mer single-murmur window hash."""
+    lib = _load()
+    if lib is None:
+        return None
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint8)
+    K, k = kmers.shape
+    if s < 1 or s > k or s > 64 or k - s + 1 > 64:
+        return None
+    out = np.empty(K, dtype=np.int64)
+    lib.minimizer_tiles_v2(
+        _ptr(kmers),
+        ctypes.c_int64(K),
+        ctypes.c_int(k),
+        ctypes.c_int(s),
+        ctypes.c_uint32(seed & 0xFFFFFFFF),
+        ctypes.c_int64(num_tiles),
+        _ptr(out),
+    )
+    return out
+
+
+def prep_minimizer_v2(
+    kmers: np.ndarray,
+    qstart: np.ndarray,
+    s: int,
+    seed: int,
+    num_tiles: int,
+    h: int,
+    tile_rows: int,
+    r: int,
+    nthreads: int = 0,
+    u_bucket: int = 16,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Fused serving prep: ASCII k-mer rows -> grouped device streams.
+
+    kmers uint8[n, k] (concatenated per-query rows), qstart int64[B+1]
+    -> (utile int32[B, U], gmask uint32[B, U, r], n_valid int32[B])
+    with U bucketed to ``u_bucket``.  One threaded C pass replaces the
+    canonicalize / minimizer / hash / stream-build serving prep chain
+    (slot scheme v2 only).  None without the lib or on bad parameters.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint8)
+    qstart = np.ascontiguousarray(qstart, dtype=np.int64)
+    b = len(qstart) - 1
+    n, k = kmers.shape
+    if b < 0 or qstart[-1] != n:
+        return None
+    k_cap = int(np.diff(qstart).max()) if b else 0
+    k_cap = max(k_cap, 1)
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    utile = np.zeros((b, k_cap), dtype=np.int32)
+    gmask = np.zeros((b, k_cap, r), dtype=np.uint32)
+    n_valid = np.zeros(b, dtype=np.int32)
+    u_max = lib.prep_minimizer_v2(
+        _ptr(kmers),
+        _ptr(qstart),
+        ctypes.c_int64(b),
+        ctypes.c_int(k),
+        ctypes.c_int(s),
+        ctypes.c_uint32(seed & 0xFFFFFFFF),
+        ctypes.c_int64(num_tiles),
+        ctypes.c_int(h),
+        ctypes.c_int(tile_rows),
+        ctypes.c_int(r),
+        ctypes.c_int64(k_cap),
+        ctypes.c_int(nthreads),
+        _ptr(utile),
+        _ptr(gmask),
+        _ptr(n_valid),
+    )
+    if u_max < 0:
+        return None
+    u = max(u_bucket, ((int(u_max) + u_bucket - 1) // u_bucket) * u_bucket)
+    u = min(u, k_cap)
+    return (
+        np.ascontiguousarray(utile[:, :u]),
+        np.ascontiguousarray(gmask[:, :u]),
+        n_valid,
+    )
 
 
 def decode_cortex_kmers(packed: np.ndarray, k: int) -> np.ndarray | None:

@@ -14,6 +14,9 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <algorithm>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -170,7 +173,7 @@ void canonicalize_kmers(uint8_t* kmers, int64_t K, int k) {
 // which preserve overlap where canonicalized ones would break it.
 void minimizer_tiles_batch(const uint8_t* kmers, int64_t K, int k, int s,
                            uint32_t seed, int64_t num_tiles, int64_t* out) {
-  if (s > k || s > 64 || K <= 0) return;
+  if (s < 1 || s > k || s > 64 || k - s + 1 > 64 || K <= 0) return;
   const int w = k - s + 1;
   uint8_t comp[256];
   for (int i = 0; i < 256; i++) comp[i] = (uint8_t)i;
@@ -200,6 +203,198 @@ void minimizer_tiles_batch(const uint8_t* kmers, int64_t K, int k, int s,
     out[i] = (int64_t)((uint64_t)mn % (uint64_t)num_tiles);
     have_prev = true;
   }
+}
+
+// ----------------------------------------------- minimizer slot-scheme v2
+//
+// Serving-oriented hash scheme for the minimizer layout (an index-wide
+// build-time choice persisted in the manifest as ksi:slot_scheme=2; the
+// reference has no analogue — its only scheme is classic h-murmur,
+// bigsi/bloom/bloomfilter.py:5-13, which stays bit-exact in scheme v1):
+//
+//   * window order hash = murmur3(canonical s-mer, seed), where
+//     canonical s-mer = lexicographic min(smer, revcomp(smer)) — ONE
+//     murmur per window instead of v1's min(h(smer), h(rc)).
+//   * slot_j = (murmur3(canonical kmer, 0) >> (6*j)) % tile_rows —
+//     h slots from disjoint bit fields of ONE murmur instead of h
+//     independent murmurs (needs 6*h <= 32, i.e. h <= 5).
+//
+// Both remain strand-invariant.  This is 3x less host hashing on the
+// serving critical path (the numpy oracle lives in
+// bigsi_tpu/hashing/scheme.py and is parity-tested against this file).
+
+struct RollState {
+  // Reverse-complement of the query walked so far, written right-to-left
+  // so the rc of the CURRENT kmer is the contiguous range [p, p+k).
+  std::vector<uint8_t> rc;
+  int64_t p = 0;
+  uint32_t hw[64];  // rolling window-order hashes
+  bool have_prev = false;
+};
+
+static inline uint32_t window_hash_v2(const uint8_t* fwd, const uint8_t* rc,
+                                      int s, uint32_t seed) {
+  const uint8_t* key = std::memcmp(fwd, rc, (size_t)s) <= 0 ? fwd : rc;
+  return murmur3_32(key, s, seed);
+}
+
+static const uint8_t* COMP_TABLE() {
+  static uint8_t comp[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; i++) comp[i] = (uint8_t)i;
+    comp['A'] = 'T'; comp['T'] = 'A'; comp['C'] = 'G'; comp['G'] = 'C';
+    init = true;
+  }
+  return comp;
+}
+
+// Per-kmer v2 tile ids with rolling-window reuse (standalone variant of
+// the fused prep below, for the build path and layout experiments).
+void minimizer_tiles_v2(const uint8_t* kmers, int64_t K, int k, int s,
+                        uint32_t seed, int64_t num_tiles, int64_t* out) {
+  if (s < 1 || s > k || s > 64 || k - s + 1 > 64 || K <= 0) return;
+  const int w = k - s + 1;
+  const uint8_t* comp = COMP_TABLE();
+  RollState st;
+  st.rc.resize((size_t)(K + k));
+  for (int64_t i = 0; i < K; i++) {
+    const uint8_t* row = kmers + i * k;
+    const bool overlap =
+        st.have_prev &&
+        std::memcmp(row, kmers + (i - 1) * k + 1, (size_t)(k - 1)) == 0;
+    if (overlap) {
+      st.p -= 1;
+      st.rc[(size_t)st.p] = comp[row[k - 1]];
+      if (w > 1)
+        std::memmove(st.hw, st.hw + 1, sizeof(uint32_t) * (size_t)(w - 1));
+      // new window = last window of this row; its rc smer starts at p
+      st.hw[w - 1] =
+          window_hash_v2(row + (w - 1), st.rc.data() + st.p, s, seed);
+    } else {
+      st.p = (int64_t)st.rc.size() - k;
+      for (int j = 0; j < k; j++)
+        st.rc[(size_t)(st.p + j)] = comp[row[k - 1 - j]];
+      // rc smer of window j starts at rc offset (k - s - j)
+      for (int j = 0; j < w; j++)
+        st.hw[j] = window_hash_v2(row + j, st.rc.data() + st.p + (k - s - j),
+                                  s, seed);
+    }
+    uint32_t mn = st.hw[0];
+    for (int j = 1; j < w; j++) mn = std::min(mn, st.hw[j]);
+    out[i] = (int64_t)((uint64_t)mn % (uint64_t)num_tiles);
+    st.have_prev = true;
+  }
+}
+
+// Fused serving prep (minimizer layout, slot scheme v2): raw ASCII
+// k-mer rows in, grouped device streams out — tiles (rolling canonical
+// s-mer minimizer), canonical pick (rc-buffer pointer select, no
+// copies), slot mask (one murmur), and grouped-stream building in one
+// pass, threaded over queries.  Replaces the 4-stage
+// canonicalize/minimizer/hash/streams serving prep (~28 ms per
+// [256, 512] batch) with one ~3 ms call.
+//
+// kmers: [n, k] rows, concatenated per-query sliding windows (deduped
+// order-preserving; overlap only accelerates, never required).
+// qstart: [B+1] row offsets per query.  utile [B, K_cap] and
+// gmask [B, K_cap, r] must be zeroed by the caller; n_valid [B].
+// Returns the max entry count over the batch (callers bucket it), or
+// -1 on invalid parameters.
+int64_t prep_minimizer_v2(const uint8_t* kmers, const int64_t* qstart,
+                          int64_t B, int k, int s, uint32_t seed,
+                          int64_t num_tiles, int h, int tile_rows, int r,
+                          int64_t K_cap, int nthreads, int32_t* utile,
+                          uint32_t* gmask, int32_t* n_valid) {
+  if (s < 1 || s > k || s > 64 || k - s + 1 > 64 || h < 1 || h > 5 ||
+      tile_rows < 1 || r < 1 || B < 0 || num_tiles < 1)
+    return -1;
+  const int w = k - s + 1;
+  const uint8_t* comp = COMP_TABLE();
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > B) nthreads = B > 0 ? (int)B : 1;
+  std::vector<int64_t> u_max_per((size_t)std::max(nthreads, 1), 0);
+
+  auto run = [&](int t, int64_t b0, int64_t b1) {
+    RollState st;
+    int64_t max_rows = 0;
+    for (int64_t q = b0; q < b1; q++)
+      max_rows = std::max(max_rows, qstart[q + 1] - qstart[q]);
+    st.rc.resize((size_t)(max_rows + k));
+    int64_t u_max = 0;
+    for (int64_t q = b0; q < b1; q++) {
+      const int64_t r0 = qstart[q], r1 = qstart[q + 1];
+      n_valid[q] = (int32_t)(r1 - r0);
+      int32_t* urow = utile + q * K_cap;
+      uint32_t* grow = gmask + q * K_cap * r;
+      int64_t entry = -1;
+      int32_t cur_tile = -1;
+      int slot = r;
+      st.have_prev = false;
+      for (int64_t i = r0; i < r1; i++) {
+        const uint8_t* row = kmers + i * k;
+        const bool overlap =
+            st.have_prev &&
+            std::memcmp(row, kmers + (i - 1) * k + 1, (size_t)(k - 1)) == 0;
+        if (overlap) {
+          st.p -= 1;
+          st.rc[(size_t)st.p] = comp[row[k - 1]];
+          if (w > 1)
+            std::memmove(st.hw, st.hw + 1,
+                         sizeof(uint32_t) * (size_t)(w - 1));
+          st.hw[w - 1] =
+              window_hash_v2(row + (w - 1), st.rc.data() + st.p, s, seed);
+        } else {
+          st.p = (int64_t)st.rc.size() - k;
+          for (int j = 0; j < k; j++)
+            st.rc[(size_t)(st.p + j)] = comp[row[k - 1 - j]];
+          for (int j = 0; j < w; j++)
+            st.hw[j] = window_hash_v2(
+                row + j, st.rc.data() + st.p + (k - s - j), s, seed);
+        }
+        st.have_prev = true;
+        uint32_t mn = st.hw[0];
+        for (int j = 1; j < w; j++) mn = std::min(mn, st.hw[j]);
+        const int32_t tile = (int32_t)((uint64_t)mn % (uint64_t)num_tiles);
+        // canonical kmer = lexmin(row, rc) — pointer pick, no copy
+        const uint8_t* key =
+            std::memcmp(row, st.rc.data() + st.p, (size_t)k) <= 0
+                ? row
+                : st.rc.data() + st.p;
+        const uint32_t hv = murmur3_32(key, k, 0);
+        uint32_t smask = 0;
+        for (int j = 0; j < h; j++)
+          smask |= 1u << ((hv >> (6 * j)) % (uint32_t)tile_rows);
+        if (entry < 0 || tile != cur_tile || slot == r) {
+          entry++;
+          cur_tile = tile;
+          urow[entry] = tile;
+          slot = 0;
+        }
+        grow[entry * r + slot] = smask;
+        slot++;
+      }
+      u_max = std::max(u_max, entry + 1);
+    }
+    u_max_per[(size_t)t] = u_max;
+  };
+
+  if (nthreads <= 1 || B <= 1) {
+    run(0, 0, B);
+    return u_max_per[0];
+  }
+  std::vector<std::thread> threads;
+  const int64_t per = (B + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; t++) {
+    const int64_t b0 = (int64_t)t * per;
+    const int64_t b1 = std::min(B, b0 + per);
+    if (b0 >= b1) break;
+    threads.emplace_back(run, t, b0, b1);
+  }
+  for (auto& th : threads) th.join();
+  int64_t u_max = 0;
+  for (int64_t v : u_max_per) u_max = std::max(u_max, v);
+  return u_max;
 }
 
 // --------------------------------------------------------- query (host)
