@@ -2,23 +2,23 @@
 """Headline benchmark: bitslice-row AND+popcount throughput per chip.
 
 Runs the batched inexact-search data plane at BASELINE.json's 1k-sample
-config (m=2.5e7 bloom bits, 1024 samples): per k-mer, fetch its hash
-rows, AND them, and accumulate per-sample hit counts.
+config (m=2.5e7 bloom bits, 1024 samples): per k-mer, test its h hash
+rows and accumulate per-sample hit counts.
 
-Three engine layouts are timed; the headline is the best:
+Engine layouts timed (headline = the best, NAMED in the JSON together
+with its measured equal-FPR m premium):
 
-* classic — h independent row fetches per k-mer (reference-parity
-  layout), fat-row packed for lane efficiency;
-* blocked — the TPU-native blocked-Bloom layout: the k-mer's h rows
-  live in one tile, fetched with a single fat DMA and reduced with a
-  selection-masked AND (one-dispatch timing only — it is dominated by
-  grouped on every recorded run);
-* grouped — the minimizer layout's tile-dedup path: consecutive query
-  k-mers share tiles in runs (~6), each distinct tile gathered ONCE,
-  per-kmer presence expanded by sibling masked-AND reduces (fused to
-  one gathered-input read), counts via the carry-save popcount tree —
-  measured at tile_rows=32 (default FPR trade) and tile_rows=16 (the
-  "tile-rows: 16" config; fastest supported layout).
+* cols16 — the column-major minimizer tile layout (tile_rows=16): each
+  sample's tile column is one uint16, so per-kmer presence is ONE
+  compare per sample, (col & slot_mask) == slot_mask, replacing the
+  masked AND-reduce over bitslice rows AND the csa popcount tree
+  (ops/lookup.py:grouped_counts_cols; derived on device from the
+  canonical row-major matrix).  Query streams are REAL: sliding-window
+  k-mers of random sequences through the fused native prep, so the
+  tile-run structure (and the resulting gather count) is the serving
+  distribution, not a synthetic best case.
+* grouped16 / grouped32 — the row-major grouped (minimizer) path.
+* classic — reference-parity layout, fat-row packed.
 
 Methodology: this environment reaches the chip through a relay with
 ~26 ms overhead per program execution, so steps are chained INSIDE one
@@ -28,8 +28,11 @@ the marginal per-step time is (t_n - t_1) / (n - 1), min over repeats.
 This matches production serving, where many query batches stream
 through one compiled step.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline = value / 1e9 rows/s (the BASELINE.md target).
+Prints ONE JSON line with {"metric", "value", "unit", "vs_baseline"}
+(vs_baseline = value / 1e9 rows/s, the BASELINE.md target) plus the
+self-describing fields "layout", "m_premium" (measured equal-FPR m
+factor vs classic, hashing/scheme.py), "value_equal_fpr" (value /
+m_premium), "native_available", and "serving_qps".
 """
 
 import json
@@ -76,13 +79,27 @@ def _arm_deadline():
     t.start()
 
 
+# Measured equal-FPR m premiums vs classic (sequence-genome calibration,
+# hashing/scheme.py docstring + scripts/fpr_calibration.py)
+M_PREMIUM = {"classic": 1.0, "minimizer32": 1.5, "minimizer16": 2.0}
+
+
 def main():
     sys.path.insert(0, "/root/repo")
     _arm_deadline()
     import jax
     import jax.numpy as jnp
 
-    from bigsi_tpu.ops.lookup import TILE_ROWS, batched_counts_jnp, blocked_counts
+    from bigsi_tpu import native
+    from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
+    from bigsi_tpu.hashing.scheme import MINIMIZER_SEED, default_minimizer_s
+    from bigsi_tpu.ops.lookup import (
+        GROUP_R,
+        batched_counts_jnp,
+        build_grouped_streams,
+        grouped_counts,
+        grouped_counts_cols,
+    )
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
@@ -92,29 +109,12 @@ def main():
     B = 256 if on_tpu else 4  # queries per batch
     K = 512 if on_tpu else 32  # k-mers per query
     H = 3
+    KLEN = 31
     CHAIN = 9 if on_tpu else 3
     REPEATS = 3
-    T = M // TILE_ROWS
+    native_ok = native.available()
 
     rng = np.random.default_rng(0)
-
-    # matrices are generated on device (host->device relay is ~9 MB/s)
-    tiles = jax.jit(
-        lambda k: jax.random.bits(k, (T, TILE_ROWS * W), jnp.uint32), device=dev
-    )(jax.random.PRNGKey(0))
-    tidx = jax.device_put(rng.integers(0, T, size=(B, K)).astype(np.int32), dev)
-    slots = rng.integers(0, TILE_ROWS, size=(B, K, H)).astype(np.uint32)
-    sm = jax.device_put(
-        np.bitwise_or.reduce(np.uint32(1) << slots, axis=2), dev
-    )
-    mask = jax.device_put(np.ones((B, K), dtype=bool), dev)
-
-    # blocked layout: single-dispatch timing only (it is dominated by
-    # grouped on every recorded run; skipping its scan-chain saves two
-    # relay compiles at ~30 s each)
-    @jax.jit
-    def blocked_once(tiles, tidx, sm, mask):
-        return blocked_counts(tiles, tidx, sm, mask)
 
     def timed(fn, args):
         out = fn(*args)
@@ -134,52 +134,82 @@ def main():
         tn = timed(fn, an)
         return max((tn - t1) / (CHAIN - 1), 1e-9)
 
+    # ---- real serving streams: sliding-window k-mers of B random
+    # sequences through the fused native prep (slot scheme v2) — the
+    # honest tile-run distribution for the minimizer paths
+    seqs = np.frombuffer(b"ACGT", dtype=np.uint8)[
+        rng.integers(0, 4, size=(B, K + KLEN - 1))
+    ]
+    kmers_flat = np.ascontiguousarray(
+        np.concatenate(
+            [
+                np.lib.stride_tricks.sliding_window_view(q, KLEN)
+                for q in seqs
+            ]
+        )
+    )  # [B*K, klen], overlapping rows within each query
+    qstart = np.arange(B + 1, dtype=np.int64) * K
+    s_mer = default_minimizer_s(KLEN)
 
-    # grouped (minimizer) layout: consecutive k-mers share tiles in runs
-    # of ~6; each distinct tile is gathered once per run
-    from bigsi_tpu.ops.lookup import build_grouped_streams, grouped_counts
+    TR16 = 16
+    T16 = M // TR16
 
-    RUN = 6
-    nruns = (K + RUN - 1) // RUN
-    run_tiles = rng.integers(0, T, size=(B, nruns)).astype(np.int32)
-    tidx_runs = np.repeat(run_tiles, RUN, axis=1)[:, :K]
-    utile_np, gmask_np = build_grouped_streams(
-        tidx_runs, np.asarray(sm, dtype=np.uint32)
-    )
-    utile = jax.device_put(utile_np, dev)
-    gmask = jax.device_put(gmask_np, dev)
+    def fused_prep(nthreads=0):
+        return native.prep_minimizer_v2(
+            kmers_flat, qstart, s_mer, MINIMIZER_SEED, T16, H, TR16, GROUP_R,
+            nthreads=nthreads,
+        )
 
-    def make_grouped(nsteps):
+    prep16 = fused_prep() if native_ok else None
+    if prep16 is None:
+        # no native lib: fall back to the (slow) split prep for streams
+        from bigsi_tpu.hashing.scheme import minimizer_tiles, slot_hashes_v2
+        from bigsi_tpu.kmers import canonicalize_kmer_matrix
+
+        tile = (
+            minimizer_tiles(kmers_flat, T16, s_mer, scheme=2)
+            .reshape(B, K)
+            .astype(np.int32)
+        )
+        canon = canonicalize_kmer_matrix(kmers_flat.copy())
+        slots = slot_hashes_v2(canon, H, TR16).astype(np.uint32)
+        smask = np.bitwise_or.reduce(
+            np.uint32(1) << slots, axis=1
+        ).reshape(B, K)
+        ut16, gm16 = build_grouped_streams(tile, smask, r=GROUP_R)
+        nv16 = np.full(B, K, dtype=np.int32)
+    else:
+        ut16, gm16, nv16 = prep16
+    U16 = ut16.shape[1]
+
+    # ---- cols16: column-major minimizer tiles, uint16 per sample column
+    cols16 = jax.jit(
+        lambda k: jax.random.bits(k, (T16, N), jnp.uint16), device=dev
+    )(jax.random.PRNGKey(3))
+    ut16_d = jax.device_put(ut16, dev)
+    gm16_d = jax.device_put(gm16, dev)
+    nv16_d = jax.device_put(nv16, dev)
+
+    def make_cols16(nsteps):
         @jax.jit
-        def f(tiles, utile, gmask):
+        def f(cols, utile, gmask, n_valid):
             def body(carry, _):
-                u2 = (utile + carry) % T  # shift tiles, dedup structure kept
-                counts = grouped_counts(tiles, u2, gmask)
+                u2 = (utile + carry) % T16  # shift tiles, run structure kept
+                counts = grouped_counts_cols(cols, u2, gmask, n_valid)
                 return (counts[0, 0] & jnp.int32(7)) + 1, ()
 
             carry, _ = jax.lax.scan(body, jnp.int32(0), None, length=nsteps)
             return carry.reshape(1)
 
-        return f, (tiles, utile, gmask)
+        return f, (cols16, ut16_d, gm16_d, nv16_d)
 
-    dt_grouped = marginal(make_grouped)
+    dt_cols16 = marginal(make_cols16)
 
-    # grouped at tile_rows=16 ("tile-rows: 16" config): half the
-    # gathered bytes and half the presence-expansion work per k-mer, at
-    # a measured FPR premium (hashing/scheme.py docstring) — the fastest
-    # supported product layout
-    TR16 = 16
-    T16 = M // TR16
+    # ---- grouped16 (row-major minimizer tiles, same real streams)
     tiles16 = jax.jit(
-        lambda key: jax.random.bits(key, (T16, TR16 * W), jnp.uint32), device=dev
+        lambda key: jax.random.bits(key, (T16, TR16 * W), jnp.uint32),
+        device=dev,
     )(jax.random.PRNGKey(2))
-    run_tiles16 = rng.integers(0, T16, size=(B, nruns)).astype(np.int32)
-    tidx16 = np.repeat(run_tiles16, RUN, axis=1)[:, :K]
-    slots16 = rng.integers(0, TR16, size=(B, K, H)).astype(np.uint32)
-    sm16 = np.bitwise_or.reduce(np.uint32(1) << slots16, axis=2)
-    utile16_np, gmask16_np = build_grouped_streams(tidx16, sm16)
-    utile16 = jax.device_put(utile16_np, dev)
-    gmask16 = jax.device_put(gmask16_np, dev)
 
     def make_grouped16(nsteps):
         @jax.jit
@@ -192,17 +222,51 @@ def main():
             carry, _ = jax.lax.scan(body, jnp.int32(0), None, length=nsteps)
             return carry.reshape(1)
 
-        return f, (tiles16, utile16, gmask16)
+        return f, (tiles16, ut16_d, gm16_d)
 
     dt_grouped16 = marginal(make_grouped16)
+    del tiles16
 
-    # classic layout (secondary, reported in the stderr detail line)
+    # ---- grouped32 (tile_rows=32, v1-style synthetic streams at the
+    # same run structure)
+    TR32 = 32
+    T32 = M // TR32
+    tiles32 = jax.jit(
+        lambda k: jax.random.bits(k, (T32, TR32 * W), jnp.uint32), device=dev
+    )(jax.random.PRNGKey(0))
+    nruns = (K + GROUP_R - 1) // GROUP_R
+    run_tiles = rng.integers(0, T32, size=(B, nruns)).astype(np.int32)
+    tidx_runs = np.repeat(run_tiles, GROUP_R, axis=1)[:, :K]
+    slots32 = rng.integers(0, TR32, size=(B, K, H)).astype(np.uint32)
+    sm32 = np.bitwise_or.reduce(np.uint32(1) << slots32, axis=2)
+    ut32, gm32 = build_grouped_streams(tidx_runs, sm32)
+    ut32_d = jax.device_put(ut32, dev)
+    gm32_d = jax.device_put(gm32, dev)
+
+    def make_grouped32(nsteps):
+        @jax.jit
+        def f(tiles, utile, gmask):
+            def body(carry, _):
+                u2 = (utile + carry) % T32
+                counts = grouped_counts(tiles, u2, gmask, TR32)
+                return (counts[0, 0] & jnp.int32(7)) + 1, ()
+
+            carry, _ = jax.lax.scan(body, jnp.int32(0), None, length=nsteps)
+            return carry.reshape(1)
+
+        return f, (tiles32, ut32_d, gm32_d)
+
+    dt_grouped32 = marginal(make_grouped32)
+    del tiles32
+
+    # ---- classic layout
     words = jax.jit(
         lambda k: jax.random.bits(k, (M, W), jnp.uint32), device=dev
     )(jax.random.PRNGKey(1))
     ridx = jax.device_put(
         rng.integers(0, M, size=(B, K, H)).astype(np.int32), dev
     )
+    mask = jax.device_put(np.ones((B, K), dtype=bool), dev)
 
     def make_classic(nsteps):
         @jax.jit
@@ -218,85 +282,41 @@ def main():
         return f, (words, ridx, mask)
 
     dt_classic = marginal(make_classic)
+    del words
 
-    dt_blocked_once = timed(blocked_once, (tiles, tidx, sm, mask))
+    # ---- serving host side (fused native prep; see DeviceEngine.
+    # counts_batch_kmers — prep of batch i+1 overlaps device batch i,
+    # so the steady-state rate is bounded by max(host, device))
+    def time_host(fn, reps=5):
+        fn()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fn()
+        return (time.perf_counter() - t0) / reps * 1e3
 
-    # full serving pipeline (VERDICT r1 item 7): raw ASCII k-mers in,
-    # counts out — canonicalize + murmur3 + gather + AND + csa in ONE
-    # program (ops/lookup.py:make_full_query_step), classic layout
-    from bigsi_tpu.ops.lookup import make_full_query_step
+    if native_ok:
+        serve_host_ms = time_host(fused_prep)
+        serve_host_ms_1t = time_host(lambda: fused_prep(nthreads=1))
+    else:
+        serve_host_ms = serve_host_ms_1t = float("nan")
+    # hash-alone sanity line: murmur3 of B*K canonical-length k-mers mod
+    # m — attributes host-path regressions (classic serving prep cost)
+    hash_ms = time_host(lambda: hash_kmer_matrix(kmers_flat, H, M), reps=3)
 
-    klen = 31
-    kmers_ascii = rng.integers(0, 4, size=(B, K, klen)).astype(np.uint8)
-    kmers_ascii = np.frombuffer(b"ACGT", dtype=np.uint8)[kmers_ascii]
-    kmers_d = jax.device_put(kmers_ascii, dev)
-    pipe_step = make_full_query_step(M, H)
-
-    def timed_pipe_once():
-        out = pipe_step(words, kmers_d, mask)
-        np.asarray(out)[0, 0]
-        ts = []
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            out = pipe_step(words, kmers_d, mask)
-            np.asarray(out)[0, 0]
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    dt_pipe_once = timed_pipe_once()  # one un-chained dispatch: honest
-    # request latency through this environment's relay
-
-    # minimizer serving pipeline: per batch, the host canonicalizes +
-    # hashes the raw ASCII k-mers (C fast paths) and builds the grouped
-    # streams (C), then ONE device dispatch runs the grouped step.  Host
-    # prep of batch i+1 overlaps device batch i in serving, so the
-    # steady-state rate is bounded by max(host, device).  Queries are
-    # sliding-window k-mers of B random sequences — the real serving
-    # shape (row overlap keeps the native rolling-minimizer path hot).
-    from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
-    from bigsi_tpu.hashing.scheme import minimizer_tiles
-    from bigsi_tpu.kmers import canonicalize_kmer_matrix
-
-    seqs = np.frombuffer(b"ACGT", dtype=np.uint8)[
-        rng.integers(0, 4, size=(B, K + klen - 1))
-    ]
-    kmers_flat = np.concatenate(
-        [
-            np.lib.stride_tricks.sliding_window_view(q, klen).copy()
-            for q in seqs
-        ]
-    )  # [B*K, klen], overlapping rows within each query
-
-    def serve_host_prep():
-        canon = canonicalize_kmer_matrix(kmers_flat)
-        # tiles from the PRE-canonical form (strand-invariant; keeps the
-        # rolling-window C path hot), slots from the canonical form —
-        # exactly signature.kmer_matrix_to_row_idx's dispatch
-        tile = minimizer_tiles(kmers_flat, T16).reshape(B, K).astype(np.int32)
-        slots = hash_kmer_matrix(canon, H, TR16).astype(np.uint32)
-        smask = (
-            np.bitwise_or.reduce(np.uint32(1) << slots, axis=1)
-            .reshape(B, K)
-            .astype(np.uint32)
-        )
-        return build_grouped_streams(tile, smask)
-
-    serve_host_prep()  # warm native paths
-    t0 = time.perf_counter()
-    for _ in range(3):
-        ut_np, gm_np = serve_host_prep()
-    serve_host_ms = (time.perf_counter() - t0) / 3 * 1e3
-
-    # grouped host prep alone (stream building, C fast path)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        build_grouped_streams(tidx_runs, np.asarray(sm, dtype=np.uint32))
-    host_prep_ms = (time.perf_counter() - t0) / 3 * 1e3
+    serve_dev = dt_cols16
+    serve_qps = B / max(serve_host_ms / 1e3, serve_dev) if native_ok else 0.0
 
     rows = B * K * H
-    best = min(dt_classic, dt_grouped, dt_grouped16)
+    candidates = {
+        "minimizer16-cols": dt_cols16,
+        "minimizer16": dt_grouped16,
+        "minimizer32": dt_grouped32,
+        "classic": dt_classic,
+    }
+    best_layout = min(candidates, key=candidates.get)
+    best = candidates[best_layout]
+    premium = M_PREMIUM[best_layout.replace("-cols", "")]
     rows_per_s = rows / best
-    serve_qps = B / max(serve_host_ms / 1e3, dt_grouped16)
     print(
         json.dumps(
             {
@@ -304,28 +324,31 @@ def main():
                 "value": round(rows_per_s, 1),
                 "unit": "rows/s/chip",
                 "vs_baseline": round(rows_per_s / 1e9, 3),
+                "layout": best_layout,
+                "m_premium": premium,
+                "value_equal_fpr": round(rows_per_s / premium, 1),
+                "native_available": native_ok,
+                "serving_qps": round(serve_qps, 1),
             }
         )
     )
     print(
-        "detail: %s m=%d N=%d B=%d K=%d h=%d | grouped16 %.3f ms/step "
-        "(%.1f Mrows/s) | grouped32 %.3f ms/step (%.1f Mrows/s, "
-        "%.0f queries/s) | blocked %.3f ms one-dispatch | "
-        "classic %.3f ms/step (%.1f Mrows/s) | "
-        "full-pipeline(hash+gather+count, classic) one-dispatch "
-        "latency %.1f ms | "
-        "serving(minimizer16): host hash+prep %.2f ms/batch, device "
-        "%.3f ms/step -> %.0f queries/s pipelined | "
-        "grouped host prep %.2f ms/batch"
+        "detail: %s m=%d N=%d B=%d K=%d h=%d | cols16 %.3f ms/step "
+        "(%.1f Mrows/s, U=%d real streams) | grouped16 %.3f ms/step "
+        "(%.1f Mrows/s) | grouped32 %.3f ms/step (%.1f Mrows/s) | "
+        "classic %.3f ms/step (%.1f Mrows/s) | serving(minimizer16-cols, "
+        "slot scheme v2): fused host prep %.2f ms/batch (1-thread %.2f), "
+        "device %.3f ms/step -> %.0f queries/s pipelined | "
+        "hash_kmer_matrix alone %.2f ms/batch | native_available=%s"
         % (
             dev.platform, M, N, B, K, H,
+            dt_cols16 * 1e3, rows / dt_cols16 / 1e6, U16,
             dt_grouped16 * 1e3, rows / dt_grouped16 / 1e6,
-            dt_grouped * 1e3, rows / dt_grouped / 1e6, B / dt_grouped,
-            dt_blocked_once * 1e3,
+            dt_grouped32 * 1e3, rows / dt_grouped32 / 1e6,
             dt_classic * 1e3, rows / dt_classic / 1e6,
-            dt_pipe_once * 1e3,
-            serve_host_ms, dt_grouped16 * 1e3, serve_qps,
-            host_prep_ms,
+            serve_host_ms, serve_host_ms_1t,
+            serve_dev * 1e3, serve_qps,
+            hash_ms, native_ok,
         ),
         file=sys.stderr,
     )
