@@ -414,5 +414,17 @@ def _resolve_engine_factory(config, engine_factory):
         # process constructs the engine collectively on index open
         from bigsi_tpu.parallel.distributed import DistributedEngine
 
+        axes = config.get("mesh")  # optional (d, k, s[, r row-shards])
+        if axes:
+            axes = tuple(axes)
+            row_shards = axes[3] if len(axes) > 3 else 1
+            return (
+                lambda matrix, layout="classic", tile_rows=32,
+                minimizer_window=None: DistributedEngine(
+                    matrix, axis_sizes=axes[:3], layout=layout,
+                    tile_rows=tile_rows, minimizer_window=minimizer_window,
+                    row_shards=row_shards,
+                )
+            )
         return DistributedEngine
     raise ValueError("unknown engine %r" % engine)

@@ -37,9 +37,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from bigsi_tpu.parallel.sharding import (
     AXIS_BATCH,
     AXIS_KMERS,
+    AXIS_ROWS,
     AXIS_SAMPLES,
     factor_devices,
     make_mesh,
+    make_rowsharded_grouped_step,
+    make_sharded_grouped_step,
     make_sharded_query_step,
 )
 
@@ -48,6 +51,7 @@ logger = logging.getLogger(__name__)
 OP_QUERY = 1
 OP_STOP = 0
 OP_PRESENCE = 2
+OP_GROUPED = 3
 
 
 def initialize(
@@ -97,10 +101,47 @@ def make_global_mesh(axis_sizes=None):
         d, k, s = factor_devices(n)
     else:
         d, k, s = axis_sizes
+    devices = _spread_subset(devices, d * k * s)
     # s outermost: consecutive (host-ordered) devices differ along d/k
     # first, so d/k collectives stay intra-host where possible
     arr = np.array(devices).reshape(s, d, k).transpose(1, 2, 0)
     return make_mesh(axis_sizes=(d, k, s), devices=arr.reshape(-1))
+
+
+def _spread_subset(devices, need: int):
+    """Pick ``need`` devices spread evenly over processes (a mesh using
+    a device subset must still span every host, or its shards would
+    concentrate on one process)."""
+    if need >= len(devices):
+        return devices
+    nproc = jax.process_count()
+    if need % nproc == 0:
+        per = need // nproc
+        by_proc = {}
+        for dev in devices:
+            by_proc.setdefault(dev.process_index, []).append(dev)
+        picked = []
+        for p in sorted(by_proc):
+            picked.extend(by_proc[p][:per])
+        if len(picked) == need:
+            return picked
+    return devices[:need]
+
+
+def make_global_row_mesh(axis_sizes):
+    """Global (d, r, s) mesh for ROW-sharded tile indexes: the sample
+    axis spans hosts first, then the tile-slab axis ``r`` — so indexes
+    larger than one HOST's memory split across hosts by rows as well as
+    samples (SURVEY §7.4's 450k x m=2.5e7 = 313 GB case)."""
+    from bigsi_tpu.parallel.sharding import make_row_mesh
+
+    devices = _spread_subset(jax.devices(), axis_sizes[0] * axis_sizes[1] * axis_sizes[2])
+    d, r, s = axis_sizes
+    # r outermost across the (process-ordered) device list: each host
+    # holds a contiguous TILE SLAB (x its sample columns), so the
+    # per-host footprint is m/r x W/s words
+    arr = np.array(devices).reshape(r, s, d).transpose(2, 0, 1)
+    return make_row_mesh((d, r, s), devices=arr.reshape(-1))
 
 
 def distribute_words(words_global: np.ndarray | None, mesh, *, m: int, w: int):
@@ -108,39 +149,49 @@ def distribute_words(words_global: np.ndarray | None, mesh, *, m: int, w: int):
 
     Each process contributes ONLY its own column shard
     (``jax.make_array_from_process_local_data``), so no host ever holds
-    the full matrix — the requirement for 450k-sample indexes.  For
-    convenience ``words_global`` may be the full matrix (every process
-    slices out its part; fine for tests/small indexes) or already just
-    the local shard.
+    the full matrix in RAM — the requirement for 450k-sample indexes.
+    ``words_global`` may be the full matrix (typically an mmap of
+    rows.bin: each process copies out ONLY its own columns — the dense
+    ``[m, w_pad]`` array is never allocated) or already just the local
+    shard (shape ``[m, local_w]``).  Returns (global jax.Array,
+    local host shard) — the local shard feeds the tile-layout paths.
     """
     sharding = NamedSharding(mesh, P(None, AXIS_SAMPLES))
     s = mesh.shape[AXIS_SAMPLES]
     w_pad = -(-w // s) * s
     shard_w = w_pad // s
     if words_global is not None and words_global.shape[1] == w:
-        padded = np.zeros((m, w_pad), dtype=np.uint32)
-        padded[:, :w] = words_global
-        # columns this process owns: its devices' s-coordinates
-        local = _local_word_slice(padded, mesh, shard_w)
+        local = _local_word_slice(words_global, mesh, shard_w, w)
     else:
-        local = words_global
-    return jax.make_array_from_process_local_data(
+        local = np.ascontiguousarray(words_global, dtype=np.uint32)
+    garr = jax.make_array_from_process_local_data(
         sharding, local, global_shape=(m, w_pad)
     )
+    return garr, local
 
 
-def _local_word_slice(padded, mesh, shard_w):
-    """Concatenate the word columns owned by this process's devices."""
+def _local_word_slice(words, mesh, shard_w, w):
+    """Copy out the word columns owned by this process's devices —
+    zero-padding only the (at most one) shard that crosses the true
+    width ``w``.  Never materializes the padded full matrix."""
     mine = []
     seen = set()
+    m = words.shape[0]
     for idx, dev in np.ndenumerate(mesh.devices):
         if dev.process_index != jax.process_index():
             continue
-        s_coord = idx[2]
+        s_coord = idx[_axis_pos(mesh, AXIS_SAMPLES)]
         if s_coord in seen:
             continue  # replicated across d/k: contribute each shard once
         seen.add(s_coord)
-        mine.append(padded[:, s_coord * shard_w:(s_coord + 1) * shard_w])
+        c0, c1 = s_coord * shard_w, (s_coord + 1) * shard_w
+        if c1 <= w:
+            mine.append(np.ascontiguousarray(words[:, c0:c1]))
+        else:
+            block = np.zeros((m, shard_w), dtype=np.uint32)
+            if c0 < w:
+                block[:, : w - c0] = words[:, c0:w]
+            mine.append(block)
     return np.concatenate(mine, axis=1)
 
 
@@ -154,19 +205,27 @@ class DistributedQueryService:
     """
 
     def __init__(self, words, mesh, *, m: int, num_samples: int,
-                 bucket=(8, 64), h: int | None = None):
+                 bucket=(8, 64), h: int | None = None, layout="classic",
+                 tile_rows: int = 32, run_len: int | None = None,
+                 row_shards: int = 1):
         self.mesh = mesh
         self.m = m
         self.h = h  # optional hint; steps are cached per h regardless
         self.num_samples = num_samples
         self.bucket = bucket
-        self.words = distribute_words(
+        self.layout = layout
+        self.tile_rows = tile_rows
+        self.run_len = run_len
+        self.row_shards = row_shards
+        self._words_src = words  # matrix source (mmap ok; row slabs)
+        self.words, self._local_words = distribute_words(
             np.asarray(words) if words is not None else None,
             mesh, m=m, w=words.shape[1],
         )
         self._steps = {}
         self._presence_steps = {}
         self._put_cache = {}
+        self._grouped = None  # lazy (step, tiles3, batch_axis) triple
         # HTTP serving is threaded; one broadcast conversation at a time
         import threading
 
@@ -199,6 +258,131 @@ class DistributedQueryService:
             )
             self._presence_steps[h] = jax.jit(step)
         return self._presence_steps[h]
+
+    # -- grouped (minimizer tile-dedup) path -------------------------------
+
+    def _grouped_setup(self):
+        """Lazy tile-major matrix + grouped step over all processes.
+
+        row_shards == 1: (d*k, 1, s) mesh, each process contributes the
+        tile-major view of its COLUMN shard (derived from the local
+        words — the full matrix is never assembled).  row_shards > 1:
+        (d*k, r, s) mesh with r outermost across hosts — each process
+        cuts its tile SLAB rows straight from the matrix source (mmap
+        row slices), so per-host residency is m/r x W/s words.
+        """
+        if self._grouped is not None:
+            return self._grouped
+        d, k, s = (
+            self.mesh.shape[AXIS_BATCH],
+            self.mesh.shape[AXIS_KMERS],
+            self.mesh.shape[AXIS_SAMPLES],
+        )
+        tr = self.tile_rows
+        t = -(-self.m // tr)
+        w_pad = self.words.shape[1]
+        if self.row_shards > 1:
+            rmesh = make_global_row_mesh((d * k, self.row_shards, s))
+            rr = self.row_shards
+            tp = -(-t // rr) * rr
+            slab = tp // rr
+            shard_w = w_pad // s
+            my = [
+                idx
+                for idx, dev in np.ndenumerate(rmesh.devices)
+                if dev.process_index == jax.process_index()
+            ]
+            r_coords = sorted({idx[1] for idx in my})
+            s_coords = sorted({idx[2] for idx in my})
+            blocks = []
+            for c in r_coords:
+                m0 = c * slab * tr
+                m1 = min((c + 1) * slab * tr, self.m)
+                block = np.zeros((slab * tr, w_pad), dtype=np.uint32)
+                if m1 > m0:
+                    rows = np.asarray(
+                        self._words_src[m0:m1], dtype=np.uint32
+                    )
+                    block[: m1 - m0, : rows.shape[1]] = rows
+                cols = np.concatenate(
+                    [
+                        block[:, sc * shard_w : (sc + 1) * shard_w]
+                        for sc in s_coords
+                    ],
+                    axis=1,
+                )
+                blocks.append(
+                    cols.reshape(slab, tr, len(s_coords) * shard_w)
+                )
+            local = np.ascontiguousarray(np.concatenate(blocks, axis=0))
+            sharding = NamedSharding(
+                rmesh, P(AXIS_ROWS, None, AXIS_SAMPLES)
+            )
+            tiles3 = jax.make_array_from_process_local_data(
+                sharding, local, global_shape=(tp, tr, w_pad)
+            )
+            step = make_rowsharded_grouped_step(rmesh, tr)
+            self._grouped = (step, tiles3, rmesh.shape[AXIS_BATCH])
+        else:
+            gmesh = make_global_mesh((d * k, 1, s))
+            lw = self._local_words
+            m_pad = t * tr
+            if m_pad != self.m:
+                grown = np.zeros((m_pad, lw.shape[1]), dtype=np.uint32)
+                grown[: self.m] = lw
+                lw = grown
+            local = np.ascontiguousarray(
+                lw.reshape(t, tr, lw.shape[1])
+            )
+            sharding = NamedSharding(gmesh, P(None, None, AXIS_SAMPLES))
+            tiles3 = jax.make_array_from_process_local_data(
+                sharding, local, global_shape=(t, tr, w_pad)
+            )
+            step = make_sharded_grouped_step(gmesh, tr)
+            self._grouped = (step, tiles3, gmesh.shape[AXIS_BATCH])
+        return self._grouped
+
+    def _run_grouped(self, utile: np.ndarray, gmask: np.ndarray):
+        from jax.experimental import multihost_utils
+
+        step, tiles3, db = self._grouped_setup()
+        mesh = tiles3.sharding.mesh
+        sh_u = NamedSharding(mesh, P(AXIS_BATCH, None))
+        sh_g = NamedSharding(mesh, P(AXIS_BATCH, None, None))
+        u_g = jax.make_array_from_process_local_data(
+            sh_u, _slice_for_process(utile, mesh, (AXIS_BATCH,))
+        )
+        g_g = jax.make_array_from_process_local_data(
+            sh_g, _slice_for_process(gmask, mesh, (AXIS_BATCH,))
+        )
+        counts = step(tiles3, u_g, g_g)
+        counts = multihost_utils.process_allgather(counts, tiled=True)
+        return np.asarray(counts)
+
+    def query_grouped(self, utile: np.ndarray, gmask: np.ndarray):
+        """Host-0 dispatch of a grouped (minimizer) batch: utile
+        int32[B, U], gmask uint32[B, U, R] -> counts int64[B, N_pad].
+        U must already be bucketed (build_grouped_streams does)."""
+        from jax.experimental import multihost_utils
+
+        b, u = utile.shape
+        r = gmask.shape[2]
+        _, _, db = self._grouped_setup()
+        bb = max(self.bucket[0], db)
+        while bb < b:
+            bb *= 2
+        bb = -(-bb // db) * db
+        pu = np.zeros((bb, u), dtype=np.int32)
+        pg = np.zeros((bb, u, r), dtype=np.uint32)
+        pu[:b] = utile
+        pg[:b] = gmask
+        with self._lock:
+            hdr = np.array([OP_GROUPED, bb, u, r], np.int32)
+            multihost_utils.broadcast_one_to_all(hdr)
+            pu = np.asarray(multihost_utils.broadcast_one_to_all(pu))
+            pg = np.asarray(multihost_utils.broadcast_one_to_all(pg))
+            counts = self._run_grouped(pu, pg)
+        return counts[:b]
 
     # -- shape bucketing -------------------------------------------------
 
@@ -256,7 +440,11 @@ class DistributedQueryService:
         from jax.experimental import multihost_utils
 
         k, h = idx.shape
-        kb = max(self.bucket[1], k)
+        # pow2 buckets so distinct query lengths reuse a handful of
+        # compiled sharded programs (matches _pad's behavior)
+        kb = self.bucket[1]
+        while kb < k:
+            kb *= 2
         pidx = np.zeros((kb, h), dtype=np.int32)
         pidx[:k] = idx
         with self._lock:
@@ -297,6 +485,19 @@ class DistributedQueryService:
             if hdr[0] == OP_STOP:
                 return
             bb, kb, h = int(hdr[1]), int(hdr[2]), int(hdr[3])
+            if hdr[0] == OP_GROUPED:
+                pu = np.asarray(
+                    multihost_utils.broadcast_one_to_all(
+                        np.zeros((bb, kb), np.int32)
+                    )
+                )
+                pg = np.asarray(
+                    multihost_utils.broadcast_one_to_all(
+                        np.zeros((bb, kb, h), np.uint32)
+                    )
+                )
+                self._run_grouped(pu, pg)
+                continue
             if hdr[0] == OP_PRESENCE:
                 pidx = np.asarray(
                     multihost_utils.broadcast_one_to_all(
@@ -358,13 +559,19 @@ class DistributedEngine:
     fleet instead of a KV server.
     """
 
-    def __init__(self, matrix, axis_sizes=None, bucket=(8, 64)):
-        words = np.asarray(matrix.words)
+    def __init__(self, matrix, axis_sizes=None, bucket=(8, 64),
+                 layout="classic", tile_rows: int = 32,
+                 minimizer_window: int | None = None, row_shards: int = 1):
+        words = np.asarray(matrix.words)  # mmap passes through un-copied
         self.num_cols = matrix.num_cols
+        self.layout = layout
+        self.tile_rows = tile_rows
         mesh = make_global_mesh(axis_sizes)
         self.service = DistributedQueryService(
             words, mesh, m=words.shape[0], num_samples=matrix.num_cols,
-            bucket=bucket,
+            bucket=bucket, layout=layout, tile_rows=tile_rows,
+            run_len=(minimizer_window + 1) // 2 if minimizer_window else None,
+            row_shards=row_shards,
         )
 
     # -- serving lifecycle -------------------------------------------------
@@ -380,9 +587,28 @@ class DistributedEngine:
     def counts_batch(
         self, row_idx: np.ndarray, mask: np.ndarray, num_cols: int
     ) -> np.ndarray:
-        b = row_idx.shape[0]
-        if b == 0 or row_idx.shape[1] == 0:
+        b, k = row_idx.shape[:2]
+        if b == 0 or k == 0:
             return np.zeros((b, num_cols), dtype=np.int64)
+        if self.layout in ("blocked", "minimizer"):
+            # tile-dedup path (mirrors MeshEngine.counts_batch): each
+            # distinct tile gathered once; row shards supported
+            from bigsi_tpu.ops.lookup import GROUP_R, build_grouped_streams
+
+            tr = self.tile_rows
+            tile = (row_idx[:, :, 0] // tr).astype(np.int32)
+            sm = np.where(
+                mask,
+                np.bitwise_or.reduce(
+                    np.uint32(1) << (row_idx % tr).astype(np.uint32), axis=2
+                ),
+                np.uint32(0),
+            )
+            utile, gmask = build_grouped_streams(
+                tile, sm, r=self.service.run_len or GROUP_R
+            )
+            counts = self.service.query_grouped(utile, gmask)
+            return counts[:, :num_cols].astype(np.int64)
         counts, _ = self.service.query(row_idx.astype(np.int32), mask)
         return counts[:, :num_cols].astype(np.int64)
 

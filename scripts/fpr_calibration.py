@@ -54,20 +54,22 @@ def mutate_one(rng, kmers):
     return out
 
 
-def build_bits(kmers, m, h, layout, tile_rows=32, window=None):
+def build_bits(kmers, m, h, layout, tile_rows=32, window=None,
+               slot_scheme=1):
     rows = row_indices(
         canonicalize_kmer_matrix(kmers), h, m, layout, tile_rows,
-        window=window,
+        window=window, slot_scheme=slot_scheme,
     )
     bits = np.zeros(m, dtype=bool)
     bits[rows.reshape(-1)] = True
     return bits
 
 
-def query_present(bits, kmers, m, h, layout, tile_rows=32, window=None):
+def query_present(bits, kmers, m, h, layout, tile_rows=32, window=None,
+                  slot_scheme=1):
     rows = row_indices(
         canonicalize_kmer_matrix(kmers), h, m, layout, tile_rows,
-        window=window,
+        window=window, slot_scheme=slot_scheme,
     )
     return bits[rows].all(axis=1)
 
@@ -86,7 +88,7 @@ def sequence_kmer_matrix(rng, n, k):
 
 
 def measure(m, n_kmers, h, k, seed=0, tile_rows=32, window=None,
-            genome_mode="sequence"):
+            genome_mode="sequence", slot_scheme=1):
     rng = np.random.default_rng(seed)
     make = (sequence_kmer_matrix if genome_mode == "sequence"
             else random_kmer_matrix)
@@ -108,15 +110,18 @@ def measure(m, n_kmers, h, k, seed=0, tile_rows=32, window=None,
     results = {}
     for layout in ("classic", "blocked", "minimizer"):
         w = window if layout == "minimizer" else None
-        bits = build_bits(genome, m, h, layout, tile_rows, window=w)
+        ss = slot_scheme if layout == "minimizer" else 1
+        bits = build_bits(genome, m, h, layout, tile_rows, window=w,
+                          slot_scheme=ss)
         assert query_present(
-            bits, genome, m, h, layout, tile_rows, window=w
+            bits, genome, m, h, layout, tile_rows, window=w, slot_scheme=ss
         ).all(), "false negative in %s" % layout
         bg_hit = query_present(
-            bits, background, m, h, layout, tile_rows, window=w
+            bits, background, m, h, layout, tile_rows, window=w,
+            slot_scheme=ss,
         )
         near_hit = query_present(
-            bits, near, m, h, layout, tile_rows, window=w
+            bits, near, m, h, layout, tile_rows, window=w, slot_scheme=ss
         )
         results[layout] = {
             "density": round(float(bits.mean()), 4),
@@ -131,13 +136,15 @@ def measure(m, n_kmers, h, k, seed=0, tile_rows=32, window=None,
 
 
 def m_premium(base_m, n_kmers, h, k, target_fpr, seed=1, tile_rows=32,
-              window=None, genome_mode="sequence"):
+              window=None, genome_mode="sequence", slot_scheme=1):
     """Smallest m-scale factor at which minimizer near-miss FPR <= the
     classic near-miss FPR at base_m."""
-    for scale in (1.0, 1.1, 1.2, 1.3, 1.5, 1.75, 2.0, 2.5, 3.0):
+    for scale in (1.0, 1.1, 1.2, 1.3, 1.5, 1.75, 2.0, 2.5, 3.0, 3.5,
+                  4.0, 5.0, 6.0):
         m = int(base_m * scale)
         r = measure(m, n_kmers, h, k, seed=seed, tile_rows=tile_rows,
-                    window=window, genome_mode=genome_mode)
+                    window=window, genome_mode=genome_mode,
+                    slot_scheme=slot_scheme)
         if r["minimizer"]["fpr_near_miss"] <= target_fpr:
             return scale, r["minimizer"]["fpr_near_miss"]
     return float("inf"), None
@@ -155,6 +162,8 @@ def main():
                     help="tile height for blocked/minimizer layouts")
     ap.add_argument("--window", type=int, default=None,
                     help="minimizer window (default: w=11, runs ~6)")
+    ap.add_argument("--slot-scheme", type=int, default=1,
+                    help="minimizer slot scheme (1 legacy, 2 serving)")
     ap.add_argument("--genome", choices=("sequence", "random-kmers"),
                     default="sequence",
                     help="genome model: sliding-window sequence k-mers "
@@ -163,10 +172,11 @@ def main():
 
     res = measure(args.m, args.kmers, args.h, args.k,
                   tile_rows=args.tile_rows, window=args.window,
-                  genome_mode=args.genome)
-    print("m=%d n_kmers=%d h=%d k=%d tile_rows=%d window=%s genome=%s"
+                  genome_mode=args.genome, slot_scheme=args.slot_scheme)
+    print("m=%d n_kmers=%d h=%d k=%d tile_rows=%d window=%s genome=%s "
+          "slot_scheme=%d"
           % (args.m, args.kmers, args.h, args.k, args.tile_rows,
-             args.window, args.genome),
+             args.window, args.genome, args.slot_scheme),
           file=sys.stderr)
     print("%-10s %8s %14s %14s" % ("layout", "density", "fpr_background",
                                    "fpr_near_miss"), file=sys.stderr)
@@ -177,12 +187,14 @@ def main():
 
     out = {"m": args.m, "n_kmers": args.kmers, "h": args.h,
            "tile_rows": args.tile_rows, "window": args.window,
-           "genome": args.genome, "layouts": res}
+           "genome": args.genome, "slot_scheme": args.slot_scheme,
+           "layouts": res}
     if args.premium:
         target = res["classic"]["fpr_near_miss"]
         scale, fpr = m_premium(args.m, args.kmers, args.h, args.k, target,
                                tile_rows=args.tile_rows, window=args.window,
-                               genome_mode=args.genome)
+                               genome_mode=args.genome,
+                               slot_scheme=args.slot_scheme)
         out["m_premium_for_classic_near_miss_fpr"] = scale
         print("minimizer m premium for classic near-miss FPR parity: %.2fx"
               % scale, file=sys.stderr)

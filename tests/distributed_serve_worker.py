@@ -76,6 +76,20 @@ def main():
         "%s/search?seq=%s&threshold=0.5" % (base, ref), timeout=120
     ) as resp:
         print("SEARCH:" + json.dumps(json.loads(resp.read().decode())))
+    # bulk search drives search_batch -> counts_batch -> the GROUPED
+    # multi-process dispatch (the index is minimizer-layout)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".fasta", delete=False
+    ) as f:
+        f.write(">q1\n%s\n>q2\n%s\n>q3\n%s\n" % (ref, ref[5:60], ref[20:]))
+        fasta_path = f.name
+    with urllib.request.urlopen(
+        "%s/bulk_search?fasta=%s&threshold=0.5" % (base, fasta_path),
+        timeout=120,
+    ) as resp:
+        print("BULK:" + json.dumps(json.loads(resp.read().decode())))
     # mutating routes must 403 in distributed serving
     try:
         urllib.request.urlopen(

@@ -20,6 +20,7 @@ def main():
     num_processes = int(sys.argv[2])
     port = sys.argv[3]
     local_devices = int(sys.argv[4])
+    row_shards = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
@@ -57,9 +58,13 @@ def main():
         np.uint32
     )
 
-    mesh = make_global_mesh(axis_sizes=(2, 1, n_global // 2))
+    # base mesh: with row shards the grouped row mesh needs d*k x r x s
+    # devices, so shrink the batch axis accordingly
+    d_axis = 2 if row_shards == 1 else 1
+    mesh = make_global_mesh(axis_sizes=(d_axis, 1, n_global // 2))
     service = DistributedQueryService(
-        words, mesh, m=m, h=h, num_samples=n_samples
+        words, mesh, m=m, h=h, num_samples=n_samples,
+        layout="minimizer", tile_rows=16, row_shards=row_shards,
     )
 
     if process_id == 0:
@@ -82,6 +87,40 @@ def main():
                 ),
                 flush=True,
             )
+        # grouped (minimizer tile-dedup) dispatch, row-shard aware:
+        # tile-coherent row indices (runs of 3 k-mers share a 16-row
+        # tile), streams built exactly as DistributedEngine.counts_batch
+        from bigsi_tpu.ops.lookup import build_grouped_streams
+
+        tr = 16
+        grng = np.random.default_rng(11)
+        gb, gk = 3, 36
+        tile = np.repeat(
+            grng.integers(0, m // tr, size=(gb, gk // 3)), 3, axis=1
+        )[:, :gk].astype(np.int64)
+        slots = grng.integers(0, tr, size=(gb, gk, h)).astype(np.int64)
+        gidx = tile[:, :, None] * tr + slots
+        gmask_q = grng.random((gb, gk)) < 0.9
+        sm = np.where(
+            gmask_q,
+            np.bitwise_or.reduce(
+                np.uint32(1) << slots.astype(np.uint32), axis=2
+            ),
+            np.uint32(0),
+        )
+        utile, gm = build_grouped_streams(tile.astype(np.int32), sm)
+        counts = service.query_grouped(utile, gm)
+        print(
+            json.dumps(
+                {
+                    "grouped_counts_sum": int(counts.sum()),
+                    "grouped_head": counts[0, :8].tolist(),
+                    "grouped_idx_digest": int(gidx.sum()),
+                    "row_shards": row_shards,
+                }
+            ),
+            flush=True,
+        )
         service.stop()
     else:
         service.run_worker_loop()

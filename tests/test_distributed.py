@@ -49,7 +49,8 @@ def _oracle(words, idx, mask):
     return counts, exact
 
 
-def test_two_process_distributed_query():
+@pytest.mark.parametrize("row_shards", [1, 2])
+def test_two_process_distributed_query(row_shards):
     port = _free_port()
     num_processes, local_devices = 2, 2
     env = dict(os.environ)
@@ -57,7 +58,7 @@ def test_two_process_distributed_query():
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), str(num_processes), str(port),
-             str(local_devices)],
+             str(local_devices), str(row_shards)],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             env=env,
@@ -78,7 +79,8 @@ def test_two_process_distributed_query():
         for line in outs[0][1].splitlines()
         if line.startswith("{")
     ]
-    assert len(results) == 2
+    assert len(results) == 3
+    grouped = results.pop()
 
     # reproduce the worker's deterministic matrix + queries, oracle-check
     m, n_samples, h = 4096, 96, 3
@@ -106,6 +108,23 @@ def test_two_process_distributed_query():
             packed1 |= int(exact[0, 32 + n]) << n
         assert rec["exact_head"] == [packed0, packed1]
 
+    # grouped (minimizer tile-dedup) dispatch — reproduce the worker's
+    # tile-coherent queries and oracle-check the counts
+    tr = 16
+    grng = np.random.default_rng(11)
+    gb, gk = 3, 36
+    tile = np.repeat(
+        grng.integers(0, m // tr, size=(gb, gk // 3)), 3, axis=1
+    )[:, :gk].astype(np.int64)
+    slots = grng.integers(0, tr, size=(gb, gk, h)).astype(np.int64)
+    gidx = tile[:, :, None] * tr + slots
+    gmask_q = grng.random((gb, gk)) < 0.9
+    assert grouped["grouped_idx_digest"] == int(gidx.sum())
+    assert grouped["row_shards"] == row_shards
+    counts, _ = _oracle(words, gidx.astype(np.int32), gmask_q)
+    assert grouped["grouped_counts_sum"] == int(counts.sum())
+    assert grouped["grouped_head"] == counts[0, :8].tolist()
+
 
 def test_distributed_serving(tmp_path):
     """serve --distributed round-trip: build an index on disk, serve it
@@ -126,7 +145,8 @@ def test_distributed_serving(tmp_path):
         "from bigsi_tpu.kmers import seq_to_kmers\n"
         "cfg = {'storage-engine': 'bigsi-tpu',\n"
         "       'storage-config': {'filename': %r},\n"
-        "       'k': 31, 'm': 20000, 'h': 3}\n"
+        "       'k': 31, 'm': 20000, 'h': 3,\n"
+        "       'layout': 'minimizer', 'tile-rows': 16}\n"
         "blooms = [BIGSI.bloom(cfg, seq_to_kmers(s, 31)) for s in (%r, %r)]\n"
         "BIGSI.build(cfg, blooms, ['a', 'b'])\n"
     ) % (os.path.join(HERE, ".."), index_dir, ref, alt)
@@ -164,4 +184,52 @@ def test_distributed_serving(tmp_path):
     names = [r["sample_name"] for r in body["results"]]
     assert "a" in names  # exact sample always hits
     assert "citation" in body
+    # bulk search exercised the grouped (minimizer) multi-process path
+    bulk_line = next(
+        line for line in host0.splitlines() if line.startswith("BULK:")
+    )
+    bulk = json.loads(bulk_line[len("BULK:"):])
+    assert len(bulk) == 3
+    for rec in bulk:
+        assert "a" in [r["sample_name"] for r in rec["results"]]
     assert "INSERT_STATUS:403" in host0
+
+
+def test_distribute_words_never_densifies():
+    """distribute_words must only allocate this process's column shard
+    — the full padded [m, w_pad] matrix must never exist in RAM (the
+    450k-sample requirement: 1.4 TB per host if it did)."""
+    from unittest import mock
+
+    import jax
+
+    from bigsi_tpu.parallel import distributed as dist
+    from bigsi_tpu.parallel.sharding import make_mesh
+
+    s = min(8, len(jax.devices()))
+    mesh = make_mesh(axis_sizes=(1, 1, s))
+    if s < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    m, w = 4096, 63  # w NOT divisible by s: exercises shard padding
+    shard_w = -(-w // s)
+    words = np.random.default_rng(5).integers(
+        0, 2 ** 32, size=(m, w), dtype=np.uint64
+    ).astype(np.uint32)
+    sizes = []
+    real_zeros = np.zeros
+
+    def spy_zeros(shape, *a, **kw):
+        out = real_zeros(shape, *a, **kw)
+        sizes.append(out.nbytes)
+        return out
+
+    with mock.patch.object(dist.np, "zeros", side_effect=spy_zeros):
+        garr, local = dist.distribute_words(words, mesh, m=m, w=w)
+    # every allocation is at most ONE column shard — never the padded
+    # full matrix (the regression: np.zeros((m, w_pad)))
+    assert sizes, "expected at least the padded boundary shard"
+    assert max(sizes) <= m * shard_w * 4
+    assert local.shape[0] == m
+    assert garr.shape == (m, shard_w * s)
+    # values survive the shard round-trip
+    np.testing.assert_array_equal(np.asarray(garr)[:, :w], words)
