@@ -79,9 +79,18 @@ def _arm_deadline():
     t.start()
 
 
-# Measured equal-FPR m premiums vs classic (sequence-genome calibration,
-# hashing/scheme.py docstring + scripts/fpr_calibration.py)
-M_PREMIUM = {"classic": 1.0, "minimizer32": 1.5, "minimizer16": 2.0}
+# Measured background-FPR m premiums vs classic and near-miss (1-SNP)
+# per-kmer FPR at base m — sequence-genome calibration at m=2e6,
+# n_kmers=2e5, h=3, slot scheme v2 (hashing/scheme.py docstring;
+# scripts/fpr_calibration.py).  Near-miss has an m-resistant floor (run
+# concentration), so classic near-miss parity is NOT purchasable with m
+# — the minimizer layouts are threshold-screening configs by design.
+FPR_TRADE = {
+    "classic": {"m_premium": 1.0, "near_miss_fpr": 0.018},
+    "minimizer32": {"m_premium": 4.0, "near_miss_fpr": 0.138},
+    "minimizer16": {"m_premium": 6.0, "near_miss_fpr": 0.227},
+    "minimizer16-w19": {"m_premium": 6.0, "near_miss_fpr": 0.440},
+}
 
 
 def main():
@@ -154,10 +163,10 @@ def main():
     TR16 = 16
     T16 = M // TR16
 
-    def fused_prep(nthreads=0):
+    def fused_prep(nthreads=0, s=None, r=GROUP_R):
         return native.prep_minimizer_v2(
-            kmers_flat, qstart, s_mer, MINIMIZER_SEED, T16, H, TR16, GROUP_R,
-            nthreads=nthreads,
+            kmers_flat, qstart, s if s is not None else s_mer,
+            MINIMIZER_SEED, T16, H, TR16, r, nthreads=nthreads,
         )
 
     prep16 = fused_prep() if native_ok else None
@@ -204,6 +213,51 @@ def main():
         return f, (cols16, ut16_d, gm16_d, nv16_d)
 
     dt_cols16 = marginal(make_cols16)
+
+    # ---- cols16 at minimizer-window 19 ("minimizer-window: 19"
+    # config): fewer distinct tiles per query (U 144 -> 64) at a
+    # measured near-miss FPR cost (FPR_TRADE) — the headline config.
+    # r=20 holds any w=19 run in one entry (runs cap at the window).
+    W19, R19 = 19, 20
+    if native_ok:
+        ut19, gm19, nv19 = native.prep_minimizer_v2(
+            kmers_flat, qstart, KLEN - W19 + 1, MINIMIZER_SEED, T16, H,
+            TR16, R19,
+        )
+    else:
+        from bigsi_tpu.hashing.scheme import minimizer_tiles, slot_hashes_v2
+        from bigsi_tpu.kmers import canonicalize_kmer_matrix
+
+        tile19 = (
+            minimizer_tiles(kmers_flat, T16, KLEN - W19 + 1, scheme=2)
+            .reshape(B, K)
+            .astype(np.int32)
+        )
+        canon19 = canonicalize_kmer_matrix(kmers_flat.copy())
+        sl19 = slot_hashes_v2(canon19, H, TR16).astype(np.uint32)
+        sm19 = np.bitwise_or.reduce(
+            np.uint32(1) << sl19, axis=1
+        ).reshape(B, K)
+        ut19, gm19 = build_grouped_streams(tile19, sm19, r=R19)
+        nv19 = np.full(B, K, dtype=np.int32)
+    ut19_d = jax.device_put(ut19, dev)
+    gm19_d = jax.device_put(gm19, dev)
+    nv19_d = jax.device_put(nv19, dev)
+
+    def make_cols19(nsteps):
+        @jax.jit
+        def f(cols, utile, gmask, n_valid):
+            def body(carry, _):
+                u2 = (utile + carry) % T16
+                counts = grouped_counts_cols(cols, u2, gmask, n_valid)
+                return (counts[0, 0] & jnp.int32(7)) + 1, ()
+
+            carry, _ = jax.lax.scan(body, jnp.int32(0), None, length=nsteps)
+            return carry.reshape(1)
+
+        return f, (cols16, ut19_d, gm19_d, nv19_d)
+
+    dt_cols19 = marginal(make_cols19)
 
     # ---- grouped16 (row-major minimizer tiles, same real streams)
     tiles16 = jax.jit(
@@ -295,27 +349,30 @@ def main():
         return (time.perf_counter() - t0) / reps * 1e3
 
     if native_ok:
-        serve_host_ms = time_host(fused_prep)
-        serve_host_ms_1t = time_host(lambda: fused_prep(nthreads=1))
+        # serving prep at the headline config (w=19, r=20)
+        serve_host_ms = time_host(lambda: fused_prep(s=KLEN - W19 + 1, r=R19))
+        serve_host_ms_1t = time_host(
+            lambda: fused_prep(nthreads=1, s=KLEN - W19 + 1, r=R19)
+        )
     else:
         serve_host_ms = serve_host_ms_1t = float("nan")
     # hash-alone sanity line: murmur3 of B*K canonical-length k-mers mod
     # m — attributes host-path regressions (classic serving prep cost)
     hash_ms = time_host(lambda: hash_kmer_matrix(kmers_flat, H, M), reps=3)
 
-    serve_dev = dt_cols16
+    serve_dev = dt_cols19
     serve_qps = B / max(serve_host_ms / 1e3, serve_dev) if native_ok else 0.0
 
     rows = B * K * H
     candidates = {
-        "minimizer16-cols": dt_cols16,
-        "minimizer16": dt_grouped16,
+        "minimizer16-w19": dt_cols19,
+        "minimizer16": dt_cols16,
         "minimizer32": dt_grouped32,
         "classic": dt_classic,
     }
     best_layout = min(candidates, key=candidates.get)
     best = candidates[best_layout]
-    premium = M_PREMIUM[best_layout.replace("-cols", "")]
+    trade = FPR_TRADE[best_layout]
     rows_per_s = rows / best
     print(
         json.dumps(
@@ -325,23 +382,27 @@ def main():
                 "unit": "rows/s/chip",
                 "vs_baseline": round(rows_per_s / 1e9, 3),
                 "layout": best_layout,
-                "m_premium": premium,
-                "value_equal_fpr": round(rows_per_s / premium, 1),
+                "m_premium": trade["m_premium"],
+                "near_miss_fpr": trade["near_miss_fpr"],
                 "native_available": native_ok,
                 "serving_qps": round(serve_qps, 1),
             }
         )
     )
     print(
-        "detail: %s m=%d N=%d B=%d K=%d h=%d | cols16 %.3f ms/step "
-        "(%.1f Mrows/s, U=%d real streams) | grouped16 %.3f ms/step "
-        "(%.1f Mrows/s) | grouped32 %.3f ms/step (%.1f Mrows/s) | "
-        "classic %.3f ms/step (%.1f Mrows/s) | serving(minimizer16-cols, "
-        "slot scheme v2): fused host prep %.2f ms/batch (1-thread %.2f), "
-        "device %.3f ms/step -> %.0f queries/s pipelined | "
-        "hash_kmer_matrix alone %.2f ms/batch | native_available=%s"
+        "detail: %s m=%d N=%d B=%d K=%d h=%d slot-scheme v2, real "
+        "sliding-window streams | cols16-w19 %.3f ms/step (%.1f Mrows/s, "
+        "U=%d, bg m-premium 6x, near-miss FPR 0.44 - threshold-screening "
+        "config) | cols16-w11 %.3f ms/step (%.1f Mrows/s, U=%d) | "
+        "grouped16 %.3f ms/step (%.1f Mrows/s) | grouped32 %.3f ms/step "
+        "(%.1f Mrows/s) | classic %.3f ms/step (%.1f Mrows/s) | "
+        "serving(minimizer16-w19-cols): fused host prep %.2f ms/batch "
+        "(1-thread %.2f), device %.3f ms/step -> %.0f queries/s "
+        "pipelined | hash_kmer_matrix alone %.2f ms/batch | "
+        "native_available=%s"
         % (
             dev.platform, M, N, B, K, H,
+            dt_cols19 * 1e3, rows / dt_cols19 / 1e6, ut19.shape[1],
             dt_cols16 * 1e3, rows / dt_cols16 / 1e6, U16,
             dt_grouped16 * 1e3, rows / dt_grouped16 / 1e6,
             dt_grouped32 * 1e3, rows / dt_grouped32 / 1e6,

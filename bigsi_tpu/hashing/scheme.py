@@ -22,36 +22,53 @@
 FPR, MEASURED on SEQUENCE genomes — sliding-window k-mers, the real
 data model (scripts/fpr_calibration.py --genome sequence, m=2e6,
 n_kmers=2e5, h=3, k=31, density 0.26; tests/test_fpr_calibration.py
-asserts the orderings at a smaller scale):
+asserts the orderings at a smaller scale).  Slot scheme v2 measures
+WITHIN NOISE of v1 (e.g. minimizer/16 w=11: v2 0.0880/0.2274 vs v1
+0.0883/0.2266) — the scheme change costs nothing:
 
-| layout / tile_rows | background FPR | near-miss FPR (1-SNP) |
-|--------------------|----------------|------------------------|
-| classic            | 0.0173         | 0.0179                 |
-| blocked / 32       | 0.0282 (1.6x)  | 0.0295 (1.6x)          |
-| minimizer / 16     | 0.0883 (5.1x)  | 0.2266 (12.7x)         |
-| minimizer / 32     | 0.0735 (4.2x)  | 0.1392 (7.8x)          |
-| minimizer / 64     | 0.0512 (3.0x)  | 0.0780 (4.4x)          |
+| layout / tile_rows (window) | background FPR | near-miss FPR (1-SNP) |
+|-----------------------------|----------------|------------------------|
+| classic                     | 0.0173         | 0.0179                 |
+| blocked / 32                | 0.0282 (1.6x)  | 0.0295 (1.6x)          |
+| minimizer / 16 (w=11)       | 0.0880 (5.1x)  | 0.2274 (12.7x)         |
+| minimizer / 16 (w=15)       | 0.0860         | 0.3272                 |
+| minimizer / 16 (w=19)       | 0.0824         | 0.4403                 |
+| minimizer / 32 (w=11)       | 0.0723 (4.2x)  | 0.1375 (7.8x)          |
+| minimizer / 64 (w=11)       | 0.0512 (3.0x)  | 0.0780 (4.4x)          |
 
 The blocked penalty is the standard blocked-Bloom cost.  The minimizer
-penalty is RUN CONCENTRATION: all ~run_len (~6) consecutive k-mers of
-a sample that share a minimizer put their run_len*h bits into ONE tile
+penalty is RUN CONCENTRATION: all ~run_len consecutive k-mers of a
+sample that share a minimizer put their run_len*h bits into ONE tile
 column, so the tiles a near-miss query probes are crowded (and the
 lumpy occupancy raises background FPR too — E[occupancy^h] is convex).
+Longer windows (the query-throughput knob: fewer distinct tiles per
+query) deepen ONLY the near-miss penalty; background barely moves.
 An earlier calibration on independent random k-mers (kept as
 ``--genome random-kmers``) cannot show this effect and understated the
 trade at minimizer/32 as 1.66x/1.83x.
 
-What the premium means at QUERY level (the reference's own semantics,
+HOW THE PENALTIES SCALE WITH m (measured, round 3 — this corrects the
+round-2 "2.0x m premium" claim, which was not a classic-parity
+number): the BACKGROUND premium is real but steep — minimizer/32 w=11
+needs ~4x m and minimizer/16 needs ~6x m to match classic's background
+FPR at base m (the per-busy-tile hit rate E[(occupancy/tile_rows)^h]
+is m-independent; growing m only dilutes the busy-tile fraction).  The
+NEAR-MISS penalty has an m-resistant floor: a 1-SNP query that keeps
+its minimizer probes THE crowded tile regardless of m (at 6x m,
+minimizer/16 w=11 still shows 0.159 vs classic's 0.018).  Growing m
+does not buy near-miss parity at any affordable factor.
+
+What this means at QUERY level (the reference's own semantics,
 ``scripts/bigsi-param-calculation.R``): hit-count thresholding
 amplifies per-kmer FPR away — at L=100, threshold 0.7, even per-kmer
 0.227 gives query-level FPR 5e-17 (classic: 7e-69); see
 ``scripts/bigsi_param_calculation.py:query_fpr_at_threshold`` and its
 ``--layout`` m-sizing factors.  Guidance: minimizer is built for
-high-throughput screening at thresholds >= 0.5; for per-kmer-exact
-discrimination (threshold 1.0 relies on the AND of all k-mers, which
-stays safe — FP^n_kmers — but per-kmer presence readouts do not), use
-blocked/classic or size m up with the measured factor.  An index-wide
-build-time trade recorded in the manifest.
+high-throughput screening at thresholds <= ~0.7, where the near-miss
+floor is amplified away; for per-kmer-exact discrimination (threshold
+1.0 relies on the AND of all k-mers, which stays safe — FP^n_kmers —
+but per-kmer presence readouts do not), use blocked/classic.  An
+index-wide build-time trade recorded in the manifest.
 
 The scheme is an index-wide property chosen at build time
 (``config["layout"]``, default classic), persisted in the manifest;
@@ -87,13 +104,12 @@ for _a, _b in zip(b"ACGT", b"TGCA"):
 # is tile_rows bits) but speed queries: 16-row tiles halve both the
 # gathered bytes and the presence-expansion work — measured 2.8x end to
 # end on chip at equal m (scripts/probe_expansion.py v1 vs v3).
-# Measured FPR at m=2e6, 2e5 kmers, h=3 (scripts/fpr_calibration.py
-# --tile-rows 16 --premium): tile_rows=32 minimizer bg 0.0286 /
-# near-miss 0.0327 (m premium 1.5x vs classic); tile_rows=16 bg 0.0394 /
-# near-miss 0.0486 (m premium 2.0x vs classic, i.e. ~1.33x more HBM
-# than tile_rows=32).  The query speedup SURVIVES equal-FPR
-# normalization: fetch count, expansion work, and popcount work are all
-# independent of m — only the index footprint grows.
+# Measured m premiums for BACKGROUND-FPR parity with classic (round 3,
+# superseding round 2's mislabeled "1.5x/2.0x"): minimizer/32 ~4x,
+# minimizer/16 ~6x — and near-miss parity is NOT reachable by growing m
+# (see the module docstring's scaling paragraph).  The query speedup
+# itself survives any m choice: fetch count, expansion work, and count
+# work are independent of m — only the index footprint grows.
 TILE_ROWS = 32
 # power-of-two tile heights only: they map to whole device lanes and the
 # v2 slot bit-field derivation assumes them (24 was dropped — it was

@@ -5,8 +5,10 @@ request (``bigsi/__main__.py:276-283``) and one-off searches hit the
 index individually.  On TPU the economics invert: one batched program
 execution answers hundreds of queries for the price of one dispatch, so
 the HTTP layer funnels concurrent ``/search`` requests through this
-batcher — requests arriving within ``max_wait_ms`` of each other (up to
-``max_batch``) run as a single :meth:`BIGSI.search_batch` call.
+batcher: a lone request dispatches immediately (no linger floor);
+burst co-arrivals coalesce — naturally while a dispatch is in flight,
+plus a linger capped at ``max_wait_ms`` once a burst is detected — and
+run as a single :meth:`BIGSI.search_batch` call (up to ``max_batch``).
 
 Requests are grouped by ``(threshold, score)`` since those change the
 result semantics, not the device program.  ``score=True`` queries pass
@@ -88,10 +90,28 @@ class QueryBatcher:
                     self._run(self._drain())
                     return
                 continue
-            batch = [p]
-            # linger briefly for co-arriving requests
-            time.sleep(self.max_wait_s)
-            batch.extend(self._drain())
+            batch = [p] + self._drain()
+            # A SOLO query dispatches immediately — no linger floor
+            # (bursts still coalesce naturally: arrivals during _run
+            # accumulate in the queue and drain as the next batch).
+            # Only when co-arrivals are already present do we linger for
+            # the rest of the burst, capped at max_wait from pickup.
+            if len(batch) > 1:
+                deadline = time.monotonic() + self.max_wait_s
+                while len(batch) < self.max_batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        nxt = self._queue.get(timeout=remaining)
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        # shutdown sentinel: answer what we have; the
+                        # outer loop sees _closed on its next get
+                        self._queue.put(None)
+                        break
+                    batch.append(nxt)
             self._run(batch)
 
     def _run(self, batch):

@@ -18,6 +18,11 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#define BIGSI_AVX512 1
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------- murmur3
@@ -223,11 +228,91 @@ void minimizer_tiles_batch(const uint8_t* kmers, int64_t K, int k, int s,
 // serving critical path (the numpy oracle lives in
 // bigsi_tpu/hashing/scheme.py and is parity-tested against this file).
 
+// 16-lane MurmurHash3_x86_32 over 16 independent keys of one fixed
+// length (AVX-512: two 8-lane 64-bit-pointer gathers per 4-byte block).
+// Bit-exact with murmur3_32 — the serving prep's hash engine; the
+// scalar path remains both the fallback and the parity oracle
+// (tests/test_native.py).
+#ifdef BIGSI_AVX512
+static inline __m512i rotl512(__m512i x, int r) {
+  return _mm512_or_si512(_mm512_slli_epi32(x, r),
+                         _mm512_srli_epi32(x, 32 - r));
+}
+
+static void murmur3_32_x16(const uint8_t* const* keys, int len,
+                           uint32_t seed, uint32_t* out) {
+  const __m512i c1 = _mm512_set1_epi32((int)0xcc9e2d51u);
+  const __m512i c2 = _mm512_set1_epi32((int)0x1b873593u);
+  __m512i h1 = _mm512_set1_epi32((int)seed);
+  const int nblocks = len / 4;
+  __m512i lo_ptr = _mm512_loadu_si512(keys);      // keys[0..7]
+  __m512i hi_ptr = _mm512_loadu_si512(keys + 8);  // keys[8..15]
+  for (int i = 0; i < nblocks; i++) {
+    const __m256i lo =
+        _mm512_i64gather_epi32(_mm512_add_epi64(lo_ptr, _mm512_set1_epi64(4 * i)),
+                               nullptr, 1);
+    const __m256i hi =
+        _mm512_i64gather_epi32(_mm512_add_epi64(hi_ptr, _mm512_set1_epi64(4 * i)),
+                               nullptr, 1);
+    __m512i k1 = _mm512_inserti64x4(_mm512_castsi256_si512(lo), hi, 1);
+    k1 = _mm512_mullo_epi32(k1, c1);
+    k1 = rotl512(k1, 15);
+    k1 = _mm512_mullo_epi32(k1, c2);
+    h1 = _mm512_xor_si512(h1, k1);
+    h1 = rotl512(h1, 13);
+    h1 = _mm512_add_epi32(
+        _mm512_mullo_epi32(h1, _mm512_set1_epi32(5)),
+        _mm512_set1_epi32((int)0xe6546b64u));
+  }
+  const int ntail = len & 3;
+  if (ntail) {
+    // gather the last full word containing the tail bytes is unsafe at
+    // buffer ends; assemble the tail scalar per lane (rare: len%4 != 0)
+    alignas(64) uint32_t k1s[16];
+    for (int l = 0; l < 16; l++) {
+      const uint8_t* tail = keys[l] + nblocks * 4;
+      uint32_t k1 = 0;
+      if (ntail >= 3) k1 ^= (uint32_t)tail[2] << 16;
+      if (ntail >= 2) k1 ^= (uint32_t)tail[1] << 8;
+      k1 ^= tail[0];
+      k1s[l] = k1;
+    }
+    __m512i k1 = _mm512_load_si512(k1s);
+    k1 = _mm512_mullo_epi32(k1, c1);
+    k1 = rotl512(k1, 15);
+    k1 = _mm512_mullo_epi32(k1, c2);
+    h1 = _mm512_xor_si512(h1, k1);
+  }
+  h1 = _mm512_xor_si512(h1, _mm512_set1_epi32(len));
+  h1 = _mm512_xor_si512(h1, _mm512_srli_epi32(h1, 16));
+  h1 = _mm512_mullo_epi32(h1, _mm512_set1_epi32((int)0x85ebca6bu));
+  h1 = _mm512_xor_si512(h1, _mm512_srli_epi32(h1, 13));
+  h1 = _mm512_mullo_epi32(h1, _mm512_set1_epi32((int)0xc2b2ae35u));
+  h1 = _mm512_xor_si512(h1, _mm512_srli_epi32(h1, 16));
+  _mm512_storeu_si512(out, h1);
+}
+#endif  // BIGSI_AVX512
+
+// Hash a batch of keys (pointer array, fixed len) with one seed —
+// SIMD 16 at a time when available, scalar otherwise/remainder.
+static void hash_ptr_batch(const uint8_t* const* keys, int64_t n, int len,
+                           uint32_t seed, uint32_t* out) {
+  int64_t i = 0;
+#ifdef BIGSI_AVX512
+  for (; i + 16 <= n; i += 16) murmur3_32_x16(keys + i, len, seed, out + i);
+#endif
+  for (; i < n; i++) out[i] = murmur3_32(keys[i], len, seed);
+}
+
 struct RollState {
-  // Reverse-complement of the query walked so far, written right-to-left
-  // so the rc of the CURRENT kmer is the contiguous range [p, p+k).
+  // Reverse-complement arena, written right-to-left so the rc of the
+  // CURRENT kmer is the contiguous range [p, p+k).  Grows strictly
+  // leftward (``floor`` = lowest used index): a segment reset starts
+  // BELOW everything already written, so pointers into earlier
+  // segments stay valid for deferred (batched) hashing.
   std::vector<uint8_t> rc;
   int64_t p = 0;
+  int64_t floor = 0;
   uint32_t hw[64];  // rolling window-order hashes
   bool have_prev = false;
 };
@@ -258,6 +343,7 @@ void minimizer_tiles_v2(const uint8_t* kmers, int64_t K, int k, int s,
   const uint8_t* comp = COMP_TABLE();
   RollState st;
   st.rc.resize((size_t)(K + k));
+  st.floor = (int64_t)st.rc.size();
   for (int64_t i = 0; i < K; i++) {
     const uint8_t* row = kmers + i * k;
     const bool overlap =
@@ -316,21 +402,33 @@ int64_t prep_minimizer_v2(const uint8_t* kmers, const int64_t* qstart,
   std::vector<int64_t> u_max_per((size_t)std::max(nthreads, 1), 0);
 
   auto run = [&](int t, int64_t b0, int64_t b1) {
+    // Three passes per query so the murmurs run 16-wide (AVX-512):
+    //   A (scalar): rc buffer + overlap detection -> canonical s-mer
+    //     pointer per DISTINCT window, canonical k-mer pointer per row;
+    //   B (SIMD): batch-hash both pointer lists (hash_ptr_batch);
+    //   C (scalar): rolling window minima -> tile, slot mask, streams.
     RollState st;
     int64_t max_rows = 0;
     for (int64_t q = b0; q < b1; q++)
       max_rows = std::max(max_rows, qstart[q + 1] - qstart[q]);
-    st.rc.resize((size_t)(max_rows + k));
+    // arena worst case: every row opens a segment (k bytes each) —
+    // pointers into earlier segments must stay valid until pass B
+    st.rc.resize((size_t)(max_rows * (int64_t)k + k));
+    // worst case (no row overlap): w distinct windows per row
+    std::vector<const uint8_t*> wptr((size_t)(max_rows * (int64_t)w + 16));
+    std::vector<uint32_t> whash(wptr.size());
+    std::vector<const uint8_t*> kptr((size_t)max_rows + 16);
+    std::vector<uint32_t> khash(kptr.size());
+    std::vector<int64_t> wbase((size_t)max_rows + 1);
     int64_t u_max = 0;
     for (int64_t q = b0; q < b1; q++) {
       const int64_t r0 = qstart[q], r1 = qstart[q + 1];
-      n_valid[q] = (int32_t)(r1 - r0);
-      int32_t* urow = utile + q * K_cap;
-      uint32_t* grow = gmask + q * K_cap * r;
-      int64_t entry = -1;
-      int32_t cur_tile = -1;
-      int slot = r;
+      const int64_t nrow = r1 - r0;
+      n_valid[q] = (int32_t)nrow;
+      // -- pass A: canonical pointers
+      int64_t nw = 0;
       st.have_prev = false;
+      st.floor = (int64_t)st.rc.size();
       for (int64_t i = r0; i < r1; i++) {
         const uint8_t* row = kmers + i * k;
         const bool overlap =
@@ -339,29 +437,46 @@ int64_t prep_minimizer_v2(const uint8_t* kmers, const int64_t* qstart,
         if (overlap) {
           st.p -= 1;
           st.rc[(size_t)st.p] = comp[row[k - 1]];
-          if (w > 1)
-            std::memmove(st.hw, st.hw + 1,
-                         sizeof(uint32_t) * (size_t)(w - 1));
-          st.hw[w - 1] =
-              window_hash_v2(row + (w - 1), st.rc.data() + st.p, s, seed);
+          // one new window: the row's LAST (its rc s-mer starts at p)
+          const uint8_t* f = row + (w - 1);
+          const uint8_t* rcp = st.rc.data() + st.p;
+          wptr[(size_t)nw++] =
+              std::memcmp(f, rcp, (size_t)s) <= 0 ? f : rcp;
         } else {
-          st.p = (int64_t)st.rc.size() - k;
+          st.p = st.floor - k;  // fresh segment BELOW all earlier ones
           for (int j = 0; j < k; j++)
             st.rc[(size_t)(st.p + j)] = comp[row[k - 1 - j]];
-          for (int j = 0; j < w; j++)
-            st.hw[j] = window_hash_v2(
-                row + j, st.rc.data() + st.p + (k - s - j), s, seed);
+          for (int j = 0; j < w; j++) {
+            const uint8_t* f = row + j;
+            const uint8_t* rcp = st.rc.data() + st.p + (k - s - j);
+            wptr[(size_t)nw++] =
+                std::memcmp(f, rcp, (size_t)s) <= 0 ? f : rcp;
+          }
         }
-        st.have_prev = true;
-        uint32_t mn = st.hw[0];
-        for (int j = 1; j < w; j++) mn = std::min(mn, st.hw[j]);
-        const int32_t tile = (int32_t)((uint64_t)mn % (uint64_t)num_tiles);
-        // canonical kmer = lexmin(row, rc) — pointer pick, no copy
-        const uint8_t* key =
+        wbase[(size_t)(i - r0)] = nw - w;  // row windows = [nw-w, nw)
+        // canonical kmer = lexmin(row, rc) -- pointer pick, no copy
+        kptr[(size_t)(i - r0)] =
             std::memcmp(row, st.rc.data() + st.p, (size_t)k) <= 0
                 ? row
                 : st.rc.data() + st.p;
-        const uint32_t hv = murmur3_32(key, k, 0);
+        st.have_prev = true;
+        st.floor = st.p;
+      }
+      // -- pass B: 16-wide murmurs
+      hash_ptr_batch(wptr.data(), nw, s, seed, whash.data());
+      hash_ptr_batch(kptr.data(), nrow, k, 0, khash.data());
+      // -- pass C: window minima + slot masks + grouped streams
+      int32_t* urow = utile + q * K_cap;
+      uint32_t* grow = gmask + q * K_cap * r;
+      int64_t entry = -1;
+      int32_t cur_tile = -1;
+      int slot = r;
+      for (int64_t i = 0; i < nrow; i++) {
+        const uint32_t* hwv = whash.data() + wbase[(size_t)i];
+        uint32_t mn = hwv[0];
+        for (int j = 1; j < w; j++) mn = std::min(mn, hwv[j]);
+        const int32_t tile = (int32_t)((uint64_t)mn % (uint64_t)num_tiles);
+        const uint32_t hv = khash[(size_t)i];
         uint32_t smask = 0;
         for (int j = 0; j < h; j++)
           smask |= 1u << ((hv >> (6 * j)) % (uint32_t)tile_rows);

@@ -60,6 +60,23 @@ LAYOUT_FPR_FACTOR = {
 }
 
 
+def layout_fpr_factor(layout: str, tile_rows) -> float:
+    """Measured background-FPR factor for (layout, tile_rows).
+
+    Raises for unmeasured combinations instead of silently sizing m
+    with no layout premium — exactly the configs with the steepest
+    penalties would otherwise default to classic-equivalent.
+    """
+    key = (layout, None if layout == "classic" else tile_rows)
+    if key not in LAYOUT_FPR_FACTOR:
+        raise SystemExit(
+            "no measured FPR factor for layout=%s tile_rows=%s; run "
+            "scripts/fpr_calibration.py --tile-rows %s --premium and add "
+            "the result to LAYOUT_FPR_FACTOR" % (layout, tile_rows, tile_rows)
+        )
+    return LAYOUT_FPR_FACTOR[key]
+
+
 def _binom_sf(n: int, p: float, t: int) -> float:
     """P(Binomial(n, p) >= t), exact summation (n is query length scale)."""
     if t <= 0 or p >= 1.0:
@@ -105,10 +122,7 @@ def main():
     args = ap.parse_args()
 
     p = calc_p(args.target_fdr, args.samples, args.min_query_length, args.kmer_size)
-    factor = LAYOUT_FPR_FACTOR.get(
-        (args.layout, None if args.layout == "classic" else args.tile_rows),
-        1.0,
-    )
+    factor = layout_fpr_factor(args.layout, args.tile_rows)
     # size m so the LAYOUT's effective per-kmer FPR hits the target p
     m = math.ceil(calc_m(p / factor, args.max_kmers))
     h = calc_eta(p)
