@@ -169,8 +169,6 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         assert threshold <= 1
         kmer_mat = seq_to_kmer_matrix(seq, self.kmer_size)
         uniq, inverse = unique_rows_with_inverse(kmer_mat)
-        with phase("search.lookup"):
-            packed = self.lookup_packed(uniq)  # [K, W] over distinct kmers
         metrics.incr("search.queries")
         metrics.incr("search.kmers", int(uniq.shape[0]))
         num_kmers = uniq.shape[0]
@@ -179,13 +177,19 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             # crashes here (UnboundLocalError in unpack_and_sum) — we
             # return no hits instead.
             return []
+        with phase("search.lookup"):
+            row_idx = self.kmer_matrix_to_row_idx(uniq)
+            packed = self.engine.and_rows(row_idx)
+            side_pres = self.side_presence(row_idx)  # staged inserts
         min_kmers = math.ceil(num_kmers * threshold)
         if threshold == 1.0:
-            results = self.__exact_filter(packed, num_kmers)
+            results = self.__exact_filter(packed, num_kmers, side_pres)
         else:
-            results = self.__inexact_filter(packed, num_kmers, min_kmers)
+            results = self.__inexact_filter(
+                packed, num_kmers, min_kmers, side_pres
+            )
         if score:
-            self._score_results(packed, inverse, results)
+            self._score_results(packed, inverse, results, side_pres)
         return [
             r.todict()
             for r in results
@@ -227,7 +231,9 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             inverses.append(inverse if score else None)
             nks.append(uniq.shape[0])
         score_info = list(zip(mats, inverses)) if score else None
-        if getattr(engine, "supports_kmer_batch", lambda: False)():
+        if self.side is None and getattr(
+            engine, "supports_kmer_batch", lambda: False
+        )():
             # fused serving path: distinct ASCII k-mers straight to the
             # threaded native prep + one device program per chunk — no
             # per-query hashing round-trips on this side
@@ -264,6 +270,12 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             mask[i, :nk] = True
         with phase("search.batch_counts"):
             counts = self._counts_batch(idx, mask)
+        if self.side is not None:
+            sidec = np.zeros((b, self.side.num_cols), dtype=counts.dtype)
+            for i, (row_idx, nk) in enumerate(per_query):
+                if nk:
+                    sidec[i] = self.side.presence(row_idx).sum(axis=0)
+            counts = np.concatenate([counts, sidec], axis=1)
         metrics.incr("search.queries", b)
         metrics.incr("search.kmers", int(mask.sum()))
         return self._batch_results(per_query, counts, threshold, score_info)
@@ -296,7 +308,9 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
                 if row_idx is None:
                     row_idx = self.kmer_matrix_to_row_idx(uniq)
                 packed = self.engine.and_rows(row_idx)
-                self._score_results(packed, inverse, results)
+                self._score_results(
+                    packed, inverse, results, self.side_presence(row_idx)
+                )
             out.append(
                 [
                     r.todict()
@@ -308,15 +322,22 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
 
     def _counts_batch(self, idx, mask):
         engine = self.engine
+        n = self.bitmatrix.num_cols  # engines cover MAIN columns only;
+        # staged side columns are appended by the caller
         if hasattr(engine, "counts_batch"):
-            return engine.counts_batch(idx, mask, self.num_samples)
+            return engine.counts_batch(idx, mask, n)
         from bigsi_tpu.index.host_engine import counts_batch_fallback
 
-        return counts_batch_fallback(engine, idx, mask, self.num_samples)
+        return counts_batch_fallback(engine, idx, mask, n)
 
-    def __exact_filter(self, packed, num_kmers):
+    def __exact_filter(self, packed, num_kmers, side_pres=None):
         colours = self.engine.exact_colours(packed)
         colours = [int(c) for c in colours]
+        if side_pres is not None and side_pres.size:
+            base = self.bitmatrix.num_cols
+            colours.extend(
+                base + int(c) for c in np.flatnonzero(side_pres.all(axis=0))
+            )
         samples = self.get_sample_list(colours)
         return [
             BigsiQueryResult(
@@ -332,8 +353,12 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         colours_to_samples = self.colours_to_samples(colours)
         return [colours_to_samples[i] for i in colours]
 
-    def __inexact_filter(self, packed, num_kmers, min_kmers):
-        counts = self.engine.counts(packed, self.num_samples)
+    def __inexact_filter(self, packed, num_kmers, min_kmers, side_pres=None):
+        counts = self.engine.counts(packed, self.bitmatrix.num_cols)
+        if side_pres is not None:
+            counts = np.concatenate(
+                [counts, side_pres.sum(axis=0).astype(counts.dtype)]
+            )
         keep = np.flatnonzero(counts >= min_kmers)
         results = [
             BigsiQueryResult(
@@ -347,12 +372,15 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         results.sort(key=lambda x: x.num_kmers_found, reverse=True)
         return results
 
-    def _score_results(self, packed, inverse, results):
+    def _score_results(self, packed, inverse, results, side_pres=None):
         # Presence matrix over ALL query positions (duplicates included),
         # matching ``bigsi.py:232-239`` which stacks one row per k-mer of
         # the sliding window.  Presence strings are built in one
         # vectorized pass (bits + 0x30 -> ASCII), not per-char joins.
-        X = self.engine.presence_matrix(packed, self.num_samples)[inverse]
+        X = self.engine.presence_matrix(packed, self.bitmatrix.num_cols)
+        if side_pres is not None:
+            X = np.concatenate([X, side_pres.astype(X.dtype)], axis=1)
+        X = X[inverse]
         chars = X.astype(np.uint8) + np.uint8(0x30)
         for res in results:
             col = chars[:, res.colour].tobytes().decode("ascii")

@@ -97,10 +97,11 @@ class KmerSignatureIndex:
         except KeyError:
             self.slot_scheme = SLOT_SCHEME_V1  # legacy persisted indexes
         self.bitmatrix = storage.load_matrix()
-        factory = engine_factory or HostEngine
+        self.side = storage.load_side()  # staged inserts, may be None
+        self._engine_factory = engine_factory or HostEngine
         self.engine = _make_engine(
-            factory, self.bitmatrix, self.layout, self.tile_rows,
-            self.minimizer_window, self.slot_scheme,
+            self._engine_factory, self.bitmatrix, self.layout,
+            self.tile_rows, self.minimizer_window, self.slot_scheme,
         )
 
     @classmethod
@@ -207,19 +208,66 @@ class KmerSignatureIndex:
         if not kmers:
             return {}
         mat = np.stack([seq_to_ascii(k) for k in kmers])
-        packed = self.lookup_packed(mat)
-        n = self.bitmatrix.num_cols if remove_trailing_zeros else None
-        bits = unpack_bits_lsb(packed, n).astype(bool)
+        row_idx = self.kmer_matrix_to_row_idx(mat)
+        packed = self.engine.and_rows(row_idx)
+        n_main = self.bitmatrix.num_cols
+        if isinstance(packed, np.ndarray):
+            bits = unpack_bits_lsb(packed, None).astype(bool)  # word-padded
+        else:  # device engines return an opaque presence handle
+            bits = self.engine.presence_matrix(packed, n_main).astype(bool)
+        total = n_main
+        if self.side is not None:
+            side = self.side.presence(row_idx)
+            total = n_main + side.shape[1]
+        if bits.shape[1] < total:
+            bits = np.pad(bits, ((0, 0), (0, total - bits.shape[1])))
+        if self.side is not None:
+            bits[:, n_main:total] = side
+        if remove_trailing_zeros:
+            bits = bits[:, :total]
         return dict(zip(kmers, bits))
 
     # -- mutation -----------------------------------------------------
 
     def insert_bloom(self, bloomfilter, column_index: int) -> None:
+        """Insert = STAGED append (SURVEY §7.4): the bloom lands in the
+        side shard in O(m/8) — rows.bin is never rewritten (round 2
+        copied the whole mmap into RAM here; the reference pokes every
+        row, ``bigsi/matrix/bitmatrix.py:67-75``).  Queries AND the side
+        columns on the host; :meth:`compact` folds them in."""
         bits = bloomfilter.bitarray if hasattr(bloomfilter, "bitarray") else bloomfilter
+        side_cols = self.side.num_cols if self.side is not None else 0
+        if column_index == self.bitmatrix.num_cols + side_cols:
+            self.storage.append_side_column(np.asarray(bits, dtype=bool))
+            self.side = self.storage.load_side()
+            return
+        # non-append insert (overwrite of an interior colour): legacy
+        # dense path — not a supported operation at scale
         self.bitmatrix.ensure_writable()
         self.bitmatrix.insert_column(np.asarray(bits, dtype=bool), column_index)
         self.storage.save_matrix(self.bitmatrix)
 
+    def compact(self) -> None:
+        """Fold staged side columns into the main matrix + engine."""
+        if self.side is None:
+            return
+        self.storage.compact_side()
+        self.side = None
+        self.bitmatrix = self.storage.load_matrix()
+        self.engine = _make_engine(
+            self._engine_factory, self.bitmatrix, self.layout,
+            self.tile_rows, self.minimizer_window, self.slot_scheme,
+        )
+
+    def side_presence(self, row_idx: np.ndarray) -> np.ndarray | None:
+        """Per-kmer presence over STAGED columns: [K, h] -> bool [K, C]
+        or None when no side shard exists."""
+        if self.side is None:
+            return None
+        return self.side.presence(row_idx)
+
     def merge_indexes(self, ksi: "KmerSignatureIndex") -> None:
+        self.compact()
+        ksi.compact()
         self.bitmatrix.merge(ksi.bitmatrix)
         self.storage.save_matrix(self.bitmatrix)

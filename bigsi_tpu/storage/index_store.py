@@ -32,7 +32,54 @@ logger = logging.getLogger(__name__)
 
 MANIFEST = "manifest.json"
 ROWS_BIN = "rows.bin"
+SIDE_BIN = "side.bin"
 FORMAT_VERSION = 1
+
+
+class SideShard:
+    """Staged-insert column shard (SURVEY §7.4).
+
+    ``insert`` appends each new sample's Bloom as one packed COLUMN
+    (``ceil(m/8)`` LSB-first bytes appended to ``side.bin``) instead of
+    rewriting the row-major matrix — the reference's per-row bit pokes
+    (``bigsi/matrix/bitmatrix.py:67-75``) and round 2's ensure_writable
+    full-matrix copy are both O(index); this is O(m/8) per insert.
+    Queries AND the side columns on the host (the shard stays small
+    between compactions); ``compact`` folds it into rows.bin once.
+    """
+
+    def __init__(self, data: np.ndarray, num_rows: int):
+        self.data = data  # uint8 [C, ceil(m/8)], LSB-first within bytes
+        self.num_rows = num_rows
+
+    @property
+    def num_cols(self) -> int:
+        return self.data.shape[0]
+
+    def presence(self, row_idx: np.ndarray) -> np.ndarray:
+        """Per-kmer presence over side columns: row_idx int [K, h] ->
+        bool [K, C] (all h bloom rows set)."""
+        rows = np.asarray(row_idx)
+        byts = self.data[:, rows >> 3]  # [C, K, h]
+        bits = (byts >> (rows & 7).astype(np.uint8)) & np.uint8(1)
+        return bits.all(axis=2).T
+
+    def rows_block(self, r0: int, r1: int) -> np.ndarray:
+        """Bit rows [r0, r1) for every column -> bool [r1-r0, C].
+        ``r0`` must be byte-aligned (multiple of 8)."""
+        assert r0 % 8 == 0
+        byts = self.data[:, r0 // 8 : (r1 + 7) // 8]
+        bits = np.unpackbits(
+            np.ascontiguousarray(byts), axis=1, bitorder="little"
+        )
+        return bits[:, : r1 - r0].T.astype(bool)
+
+
+def _pack_side_column(bits) -> np.ndarray:
+    arr = np.asarray(bits)
+    if arr.dtype != bool:
+        arr = arr.astype(bool)
+    return np.packbits(arr, bitorder="little")
 
 # In-process registry so MemoryStore state survives re-instantiation via
 # BIGSI(config), mirroring how the reference re-opens a database.
@@ -62,6 +109,17 @@ class BaseIndexStore:
     def delete_all(self) -> None:
         raise NotImplementedError
 
+    # -- staged inserts (side shard) -----------------------------------
+
+    def append_side_column(self, bits) -> None:
+        raise NotImplementedError
+
+    def load_side(self) -> SideShard | None:
+        return None
+
+    def compact_side(self) -> None:
+        """Fold the side shard into the main matrix (no-op if empty)."""
+
 
 class MemoryStore(BaseIndexStore):
     def __init__(self, name: str = "default"):
@@ -85,6 +143,29 @@ class MemoryStore(BaseIndexStore):
         self.kv.delete_all()
         _MEMORY_REGISTRY[self.name] = {"kv": TypedKV(), "matrix": None}
         self.kv = _MEMORY_REGISTRY[self.name]["kv"]
+
+    def append_side_column(self, bits) -> None:
+        state = _MEMORY_REGISTRY[self.name]
+        state.setdefault("side", []).append(_pack_side_column(bits))
+
+    def load_side(self) -> SideShard | None:
+        cols = _MEMORY_REGISTRY[self.name].get("side")
+        if not cols:
+            return None
+        m = _MEMORY_REGISTRY[self.name]["matrix"].num_rows
+        return SideShard(np.stack(cols), m)
+
+    def compact_side(self) -> None:
+        state = _MEMORY_REGISTRY[self.name]
+        cols = state.pop("side", [])
+        if not cols:
+            return
+        matrix = state["matrix"]
+        matrix.ensure_writable()
+        for packed in cols:
+            bits = np.unpackbits(packed, bitorder="little")[: matrix.num_rows]
+            matrix.insert_column(bits.astype(bool), matrix.num_cols)
+        state["matrix"] = matrix
 
 
 class IndexStore(BaseIndexStore):
@@ -169,6 +250,71 @@ class IndexStore(BaseIndexStore):
                 "layout": "lsb32-le",
             }
         )
+        self.sync()
+
+    # -- staged inserts -------------------------------------------------
+
+    def _side_path(self) -> str:
+        return os.path.join(self.directory, SIDE_BIN)
+
+    def append_side_column(self, bits) -> None:
+        """O(m/8) insert: append one packed bloom column to side.bin —
+        rows.bin is NOT touched (compact_side folds it in later)."""
+        packed = _pack_side_column(bits)
+        expected = (self._manifest["num_rows"] + 7) // 8
+        if len(packed) != expected:
+            raise ValueError(
+                "side column is %d bytes, expected %d" % (len(packed), expected)
+            )
+        with open(self._side_path(), "ab") as f:
+            f.write(packed.tobytes())
+        self._manifest["side_cols"] = self.side_cols() + 1
+        self.sync()
+
+    def side_cols(self) -> int:
+        return int((self._manifest or {}).get("side_cols", 0))
+
+    def load_side(self) -> SideShard | None:
+        c = self.side_cols()
+        if not c:
+            return None
+        m = self._manifest["num_rows"]
+        bpc = (m + 7) // 8
+        data = np.memmap(
+            self._side_path(), dtype=np.uint8, mode="r", shape=(c, bpc)
+        )
+        return SideShard(np.asarray(data), m)
+
+    def compact_side(self, chunk_rows: int = 1 << 18) -> None:
+        """Stream side columns into a widened rows.bin, one row chunk at
+        a time — peak RAM is one chunk block, never the matrix."""
+        side = self.load_side()
+        if side is None:
+            return
+        man = self._manifest
+        m, w, n = man["num_rows"], man["num_words"], man["num_cols"]
+        n_new = n + side.num_cols
+        w_new = max(w, (n_new + 31) // 32)
+        src = np.memmap(
+            self._rows_path(), dtype=np.uint32, mode="r", shape=(m, w)
+        )
+        chunk_rows = max(8, chunk_rows - chunk_rows % 8)  # byte-aligned
+        tmp = self._rows_path() + ".tmp"
+        with open(tmp, "wb") as f:
+            for r0 in range(0, m, chunk_rows):
+                r1 = min(m, r0 + chunk_rows)
+                block = np.zeros((r1 - r0, w_new), dtype=np.uint32)
+                block[:, :w] = src[r0:r1]
+                bits = side.rows_block(r0, r1)  # [rows, C]
+                for c in range(side.num_cols):
+                    col = n + c
+                    block[:, col >> 5] |= bits[:, c].astype(
+                        np.uint32
+                    ) << np.uint32(col & 31)
+                block.tofile(f)
+        os.replace(tmp, self._rows_path())
+        os.remove(self._side_path())
+        man.update({"num_words": w_new, "num_cols": n_new, "side_cols": 0})
         self.sync()
 
     def sync(self) -> None:
