@@ -105,6 +105,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("merge_config")
     _add_config_arg(p)
 
+    p = sub.add_parser(
+        "compact",
+        help="fold staged inserts (side.bin) into the main matrix",
+    )
+    _add_config_arg(p)
+
     p = sub.add_parser("search", help="search the index for a sequence")
     p.add_argument("seq")
     p.add_argument("--threshold", "-t", type=float, default=1.0)
@@ -194,6 +200,12 @@ def run(args) -> str | None:
         return json.dumps(
             insert(index=BIGSI(config), bloomfilter=args.bloomfilter, sample=args.sample)
         )
+
+    if cmd == "compact":
+        index = BIGSI(config)
+        n = index.side.num_cols if index.side is not None else 0
+        index.compact()
+        return json.dumps({"result": "compacted %d staged column(s)." % n})
 
     if cmd == "merge":
         merge_config = get_config_from_file(args.merge_config)

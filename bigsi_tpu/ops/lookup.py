@@ -405,10 +405,14 @@ def grouped_counts_cols(
     scripts/probe_r3.py colssplit2_16r8): the csa tree and the per-slot
     expansion passes disappear.  The U-sum runs as TWO independent
     half-U reduction chains ("split2") — measured 1.6x over one chain
-    (XLA overlaps the two gather+compare+reduce pipelines).
+    (XLA overlaps the two gather+compare+reduce pipelines) — and
+    accumulates in int16 when U*R < 2^15 (every per-query count is
+    bounded by U*R slots): measured 982 vs 769 Mrows/s at w=19/r=20
+    (probe_two 2026-08-20; half the VPU bytes per compare-sum pass).
     """
     b, u = utile.shape
     gm = gmask.astype(cols.dtype)
+    acc = jnp.int16 if u * gmask.shape[2] < 2 ** 15 else jnp.int32
     halves = (slice(0, u // 2), slice(u // 2, u)) if u >= 2 else (slice(0, u),)
     counts = None
     for sl in halves:
@@ -418,12 +422,12 @@ def grouped_counts_cols(
         part = None
         for j in range(gmask.shape[2]):
             gmj = gm[:, sl, j][:, :, None]
-            pj = ((g & gmj) == gmj).astype(jnp.int32)
+            pj = ((g & gmj) == gmj).astype(acc)
             part = pj if part is None else part + pj
-        s = part.sum(axis=1, dtype=jnp.int32)  # [B, N]
+        s = part.sum(axis=1, dtype=acc)  # [B, N]
         counts = s if counts is None else counts + s
     pad = jnp.int32(u * gmask.shape[2]) - n_valid.astype(jnp.int32)
-    return counts - pad[:, None]
+    return counts.astype(jnp.int32) - pad[:, None]
 
 
 def cols_presence(

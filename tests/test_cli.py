@@ -127,10 +127,17 @@ def test_insert_and_delete(ws):
     b1, _ = build_two_samples(ws)
     out = cli(["insert", b1, "s3", "-c", cfg])
     assert json.loads(out) == {"result": "success"}
+    # staged: the insert landed in the side shard, not rows.bin
+    assert os.path.exists(str(tmp_path / "index" / "side.bin"))
     seq = kmer_in_sample("test1.ctx")
     d = json.loads(cli(["search", seq, "-c", cfg]))
     # test1.ctx and test2.ctx hold identical k-mer sets, so all three
     # columns (s3 = re-inserted s1 bloom) match
+    assert {r["sample_name"] for r in d["results"]} == {"s1", "s2", "s3"}
+    out = cli(["compact", "-c", cfg])
+    assert json.loads(out) == {"result": "compacted 1 staged column(s)."}
+    assert not os.path.exists(str(tmp_path / "index" / "side.bin"))
+    d = json.loads(cli(["search", seq, "-c", cfg]))
     assert {r["sample_name"] for r in d["results"]} == {"s1", "s2", "s3"}
     cli(["delete", "-c", cfg])
     assert not os.path.exists(str(tmp_path / "index"))
