@@ -30,9 +30,10 @@ through one compiled step.
 
 Prints ONE JSON line with {"metric", "value", "unit", "vs_baseline"}
 (vs_baseline = value / 1e9 rows/s, the BASELINE.md target) plus the
-self-describing fields "layout", "m_premium" (measured equal-FPR m
-factor vs classic, hashing/scheme.py), "value_equal_fpr" (value /
-m_premium), "native_available", and "serving_qps".
+self-describing fields "layout", "m_premium" (measured
+BACKGROUND-FPR-parity m factor vs classic — near-miss parity is not
+purchasable with m, see FPR_TRADE), "near_miss_fpr",
+"native_available", and "serving_qps".
 """
 
 import json
@@ -93,8 +94,54 @@ FPR_TRADE = {
 }
 
 
+def _wait_for_device(max_wait_s: float = 480.0) -> None:
+    """Pre-flight: wait for the chip to answer a trivial program.
+
+    The relay wedges for minutes after heavy back-to-back sessions (a
+    compiler crash through it wedges for ~1h — docs/DESIGN.md); probing
+    in a SUBPROCESS (so a hung client doesn't take this process down)
+    converts a transient wedge into a bounded delay instead of a
+    zero-valued record.
+    """
+    import subprocess
+
+    probe = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "np.asarray(jax.jit(lambda a: a @ a)(jnp.ones((64, 64))))"
+    )
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe],
+                check=True,
+                timeout=150,
+                capture_output=True,
+            )
+            return
+        except Exception as e:  # noqa: BLE001 — retry until the deadline
+            if time.monotonic() >= deadline:
+                print(
+                    "device pre-flight never succeeded (%s); proceeding "
+                    "anyway (the run deadline still guards)" % e,
+                    file=sys.stderr,
+                    flush=True,
+                )
+                return
+            print(
+                "device pre-flight attempt %d failed; waiting for the "
+                "relay to recover..." % attempt,
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(45)
+
+
 def main():
     sys.path.insert(0, "/root/repo")
+    _wait_for_device()
     _arm_deadline()
     import jax
     import jax.numpy as jnp
@@ -120,7 +167,7 @@ def main():
     H = 3
     KLEN = 31
     CHAIN = 9 if on_tpu else 3
-    REPEATS = 3
+    REPEATS = 5
     native_ok = native.available()
 
     rng = np.random.default_rng(0)
@@ -212,8 +259,6 @@ def main():
 
         return f, (cols16, ut16_d, gm16_d, nv16_d)
 
-    dt_cols16 = marginal(make_cols16)
-
     # ---- cols16 at minimizer-window 19 ("minimizer-window: 19"
     # config): fewer distinct tiles per query (U 144 -> 64) at a
     # measured near-miss FPR cost (FPR_TRADE) — the headline config.
@@ -257,7 +302,9 @@ def main():
 
         return f, (cols16, ut19_d, gm19_d, nv19_d)
 
-    dt_cols19 = marginal(make_cols19)
+    dt_cols19 = marginal(make_cols19)  # headline candidate: measured
+    # FIRST, on a fresh HBM layout, before other configs allocate
+    dt_cols16 = marginal(make_cols16)
 
     # ---- grouped16 (row-major minimizer tiles, same real streams)
     tiles16 = jax.jit(
