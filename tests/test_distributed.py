@@ -79,7 +79,9 @@ def test_two_process_distributed_query(row_shards):
         for line in outs[0][1].splitlines()
         if line.startswith("{")
     ]
-    assert len(results) == 3
+    assert len(results) == 4
+    dispatch = results.pop()
+    assert dispatch["dispatch_ms"] > 0  # measured, recorded in SCALE.md
     grouped = results.pop()
 
     # reproduce the worker's deterministic matrix + queries, oracle-check
