@@ -388,12 +388,15 @@ def main():
     # ---- serving host side (fused native prep; see DeviceEngine.
     # counts_batch_kmers — prep of batch i+1 overlaps device batch i,
     # so the steady-state rate is bounded by max(host, device))
-    def time_host(fn, reps=5):
+    def time_host(fn, reps=7):
         fn()
-        t0 = time.perf_counter()
+        ts = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             fn()
-        return (time.perf_counter() - t0) / reps * 1e3
+            ts.append(time.perf_counter() - t0)
+        return min(ts) * 1e3  # steady-state capability (matches the
+        # device timings' min-of-repeats; transient contention excluded)
 
     if native_ok:
         # serving prep at the headline config (w=19, r=20)

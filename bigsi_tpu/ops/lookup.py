@@ -381,6 +381,41 @@ def pack_tile_cols(tiles: jax.Array, tile_rows: int = TILE_ROWS) -> jax.Array:
     return jnp.concatenate([body, pack_chunk(tiles[nfull * chunk :])])
 
 
+def pack_tile_cols_host(words, tile_rows: int = TILE_ROWS):
+    """Host (numpy) twin of :func:`pack_tile_cols`: row-major packed
+    words uint32[m, W] -> column-major tile columns uintX[T, W*32].
+    Chunked over tiles so the 32x bit-unpack intermediate stays bounded;
+    used to stage the cols layout onto device meshes (the device
+    version targets the single-chip engine)."""
+    import numpy as np
+
+    dtype = cols_dtype(tile_rows)
+    m, w = words.shape
+    t = -(-m // tile_rows)
+    m_pad = t * tile_rows
+    if m_pad != m:
+        grown = np.zeros((m_pad, w), dtype=np.uint32)
+        grown[:m] = words
+        words = grown
+    if dtype is None:
+        raise ValueError("no cols layout for tile_rows=%d" % tile_rows)
+    out = np.empty((t, w * 32), dtype=np.dtype(dtype.__name__))
+    shifts32 = np.arange(32, dtype=np.uint32)
+    rowbits = np.arange(tile_rows, dtype=np.uint64)[None, :, None]
+    chunk = max(1, (1 << 22) // max(1, tile_rows * w * 32))
+    t3 = words.reshape(t, tile_rows, w)
+    for t0 in range(0, t, chunk):
+        blk = t3[t0 : t0 + chunk]
+        bits = ((blk[:, :, :, None] >> shifts32) & np.uint32(1)).astype(
+            np.uint64
+        )  # [tc, tr, W, 32]
+        colsv = (bits << rowbits[:, :, :, None]).sum(axis=1)  # [tc, W, 32]
+        out[t0 : t0 + chunk] = colsv.reshape(blk.shape[0], w * 32).astype(
+            out.dtype
+        )
+    return out
+
+
 def grouped_counts_cols(
     cols: jax.Array, utile: jax.Array, gmask: jax.Array, n_valid: jax.Array
 ):

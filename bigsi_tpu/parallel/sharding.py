@@ -211,6 +211,56 @@ def make_sharded_grouped_step(mesh: Mesh, tile_rows: int = 32):
     return jax.jit(step)
 
 
+def shard_cols(cols: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Place a column-major tile matrix uintX[T, N] with the SAMPLE axis
+    sharded over ``s`` (each device holds its samples' tile columns).
+    N is zero-padded to a multiple of |s| (phantom samples never hit)."""
+    t, n = cols.shape
+    s = mesh.shape[AXIS_SAMPLES]
+    n_pad = math.ceil(n / s) * s
+    if n_pad != n:
+        grown = np.zeros((t, n_pad), dtype=cols.dtype)
+        grown[:, :n] = cols
+        cols = grown
+    return jax.device_put(cols, NamedSharding(mesh, P(None, AXIS_SAMPLES)))
+
+
+def make_sharded_cols_step(mesh: Mesh):
+    """Multi-chip column-major (cols) minimizer counts — the fastest
+    single-chip formulation (ops/lookup.py:grouped_counts_cols), sample
+    axis sharded.
+
+    step(cols, utile, gmask, n_valid) with cols uintX[T, N] sharded
+    P(None, s); utile int32[B, U] / gmask [B, U, R] / n_valid int32[B]
+    sharded P(d, ...) -> counts int32[B, N] sharded P(d, None).  Each
+    device compares against its own sample columns and the per-shard
+    counts concatenate with all_gather over ``s`` — no cross-device
+    reduction is needed (samples partition cleanly).
+    """
+    if mesh.shape[AXIS_KMERS] != 1:
+        raise ValueError("cols step requires a (d, 1, s) mesh")
+
+    from bigsi_tpu.ops.lookup import grouped_counts_cols
+
+    def local_step(cols_l, utile_l, gmask_l, n_valid_l):
+        counts_l = grouped_counts_cols(cols_l, utile_l, gmask_l, n_valid_l)
+        return jax.lax.all_gather(counts_l, AXIS_SAMPLES, axis=1, tiled=True)
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(None, AXIS_SAMPLES),
+            P(AXIS_BATCH, None),
+            P(AXIS_BATCH, None, None),
+            P(AXIS_BATCH),
+        ),
+        out_specs=P(AXIS_BATCH, None),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 AXIS_ROWS = "r"
 
 
@@ -339,6 +389,9 @@ class MeshEngine:
         self._grouped_step = None
         self._grouped_db = None
         self._tiles3 = None
+        self._cols_step = None
+        self._cols = None
+        self._cols_db = None
         self._h = h
 
     def _grouped(self):
@@ -379,6 +432,40 @@ class MeshEngine:
                 )
             self._grouped_db = mesh.shape[AXIS_BATCH]
         return self._grouped_step, self._tiles3, self._grouped_db
+
+    def _cols_setup(self):
+        """Lazy sharded cols layout (the fastest minimizer formulation,
+        single-chip-measured 2.8x over row-major grouped): sample axis
+        sharded over ``s``, one compare per LOCAL sample per slot.
+        Used when the mesh has no row shards and tile_rows fits a
+        machine word; row-sharded indexes keep the grouped path."""
+        if self._cols_step is None:
+            from bigsi_tpu.ops.lookup import pack_tile_cols_host
+
+            d, k, s = (
+                self.mesh.shape[AXIS_BATCH],
+                self.mesh.shape[AXIS_KMERS],
+                self.mesh.shape[AXIS_SAMPLES],
+            )
+            mesh = (
+                self.mesh if k == 1 else make_mesh(d * k * s, (d * k, 1, s))
+            )
+            cols = pack_tile_cols_host(
+                np.asarray(self.matrix.words), self.tile_rows
+            )
+            self._cols = shard_cols(cols, mesh)
+            self._cols_step = make_sharded_cols_step(mesh)
+            self._cols_db = mesh.shape[AXIS_BATCH]
+        return self._cols_step, self._cols, self._cols_db
+
+    def _use_cols(self) -> bool:
+        from bigsi_tpu.ops.lookup import cols_dtype
+
+        return (
+            self.layout == "minimizer"
+            and self.row_shards == 1
+            and cols_dtype(self.tile_rows) is not None
+        )
 
     def _step(self, h: int):
         if h not in self._steps:
@@ -431,7 +518,11 @@ class MeshEngine:
         if self.layout == "minimizer":
             from bigsi_tpu.ops.lookup import GROUP_R, build_grouped_streams
 
-            step, tiles3, db = self._grouped()
+            use_cols = self._use_cols()
+            if use_cols:
+                step, matrix_d, db = self._cols_setup()
+            else:
+                step, matrix_d, db = self._grouped()
             tr = self.tile_rows
             # pow2 batch bucket (multiple of the grouped mesh's batch
             # axis) so serving batch sizes hit a few compiled shapes
@@ -451,7 +542,12 @@ class MeshEngine:
             utile, gmask = build_grouped_streams(
                 tile, sm, r=self.run_len or GROUP_R
             )
-            counts = step(tiles3, utile, gmask)
+            if use_cols:
+                n_valid = np.zeros(bb, dtype=np.int32)
+                n_valid[:b] = mask.sum(axis=1)
+                counts = step(matrix_d, utile, gmask, n_valid)
+            else:
+                counts = step(matrix_d, utile, gmask)
             return np.asarray(counts)[:b, :num_cols].astype(np.int64)
         bb, kk = self._pad_sizes(b, k)
         idx = np.zeros((bb, kk, h), dtype=np.int32)
