@@ -147,6 +147,75 @@ def test_fused_prep_non_overlapping_rows():
         assert got_masks == list(smask[r0:r1])
 
 
+def test_fused_prep_ragged_random_batches(monkeypatch):
+    """Property-style: random ragged query lengths (incl. empty) and a
+    mix of sliding-window and shuffled rows must match the oracle."""
+    s = default_minimizer_s(31)
+    h, tr, r, t = 3, 16, 6, 1021
+    for trial in range(5):
+        rng = np.random.default_rng(100 + trial)
+        lens = rng.integers(0, 40, size=7)
+        mats = []
+        for n in lens:
+            if n and rng.random() < 0.5:
+                seq = np.frombuffer(b"ACGT", dtype=np.uint8)[
+                    rng.integers(0, 4, n + 30)
+                ]
+                mats.append(
+                    np.lib.stride_tricks.sliding_window_view(seq, 31).copy()
+                )
+            else:
+                mats.append(
+                    np.frombuffer(b"ACGT", dtype=np.uint8)[
+                        rng.integers(0, 4, size=(n, 31))
+                    ].copy()
+                )
+        rows = (
+            np.concatenate(mats)
+            if sum(lens)
+            else np.empty((0, 31), dtype=np.uint8)
+        )
+        qstart = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=qstart[1:])
+        out = native.prep_minimizer_v2(
+            rows, qstart, s, MINIMIZER_SEED, t, h, tr, r
+        )
+        assert out is not None
+        utile, gmask, n_valid = out
+        assert list(n_valid) == list(lens)
+        monkeypatch.setenv("BIGSI_TPU_NO_NATIVE", "1")
+        tile = (
+            minimizer_tiles(rows, t, s, scheme=SLOT_SCHEME_V2)
+            if len(rows)
+            else np.empty(0, dtype=np.int64)
+        )
+        monkeypatch.delenv("BIGSI_TPU_NO_NATIVE")
+        canon = canonicalize_kmer_matrix(rows.copy())
+        smask = (
+            np.bitwise_or.reduce(
+                np.uint32(1)
+                << slot_hashes_v2(canon, h, tr).astype(np.uint32),
+                axis=1,
+            )
+            if len(rows)
+            else np.empty(0, dtype=np.uint32)
+        )
+        for q, (r0, r1) in enumerate(zip(qstart[:-1], qstart[1:])):
+            got = [
+                (int(utile[q, e]), int(gmask[q, e, j]))
+                for e in range(utile.shape[1])
+                for j in range(r)
+                if gmask[q, e, j]
+            ]
+            want = list(
+                zip(
+                    (int(x) for x in tile[r0:r1]),
+                    (int(x) for x in smask[r0:r1]),
+                )
+            )
+            assert got == want, "query %d trial %d" % (q, trial)
+
+
 def test_fused_prep_rejects_bad_params():
     rows, qstart = _sliding_kmers(2, 8, 31)
     assert (
