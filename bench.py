@@ -82,7 +82,8 @@ def _arm_deadline():
 
 # Measured background-FPR m premiums vs classic and near-miss (1-SNP)
 # per-kmer FPR at base m — sequence-genome calibration at m=2e6,
-# n_kmers=2e5, h=3, slot scheme v2 (hashing/scheme.py docstring;
+# n_kmers=2e5, h=3; schemes v1/v2/v3 measure within noise of each
+# other (hashing/scheme.py docstring;
 # scripts/fpr_calibration.py).  Near-miss has an m-resistant floor (run
 # concentration), so classic near-miss parity is NOT purchasable with m
 # — the minimizer layouts are threshold-screening configs by design.
@@ -191,7 +192,7 @@ def main():
         return max((tn - t1) / (CHAIN - 1), 1e-9)
 
     # ---- real serving streams: sliding-window k-mers of B random
-    # sequences through the fused native prep (slot scheme v2) — the
+    # sequences through the fused native prep (slot scheme v3) — the
     # honest tile-run distribution for the minimizer paths
     seqs = np.frombuffer(b"ACGT", dtype=np.uint8)[
         rng.integers(0, 4, size=(B, K + KLEN - 1))
@@ -211,7 +212,9 @@ def main():
     T16 = M // TR16
 
     def fused_prep(nthreads=0, s=None, r=GROUP_R):
-        return native.prep_minimizer_v2(
+        # slot scheme v3 (the default for new minimizer builds):
+        # rolling 2-bit codes + splitmix64, no byte hashing
+        return native.prep_minimizer_v3(
             kmers_flat, qstart, s if s is not None else s_mer,
             MINIMIZER_SEED, T16, H, TR16, r, nthreads=nthreads,
         )
@@ -219,16 +222,14 @@ def main():
     prep16 = fused_prep() if native_ok else None
     if prep16 is None:
         # no native lib: fall back to the (slow) split prep for streams
-        from bigsi_tpu.hashing.scheme import minimizer_tiles, slot_hashes_v2
-        from bigsi_tpu.kmers import canonicalize_kmer_matrix
+        from bigsi_tpu.hashing.scheme import minimizer_tiles, slot_hashes_v3
 
         tile = (
-            minimizer_tiles(kmers_flat, T16, s_mer, scheme=2)
+            minimizer_tiles(kmers_flat, T16, s_mer, scheme=3)
             .reshape(B, K)
             .astype(np.int32)
         )
-        canon = canonicalize_kmer_matrix(kmers_flat.copy())
-        slots = slot_hashes_v2(canon, H, TR16).astype(np.uint32)
+        slots = slot_hashes_v3(kmers_flat, H, TR16).astype(np.uint32)
         smask = np.bitwise_or.reduce(
             np.uint32(1) << slots, axis=1
         ).reshape(B, K)
@@ -265,21 +266,19 @@ def main():
     # r=20 holds any w=19 run in one entry (runs cap at the window).
     W19, R19 = 19, 20
     if native_ok:
-        ut19, gm19, nv19 = native.prep_minimizer_v2(
+        ut19, gm19, nv19 = native.prep_minimizer_v3(
             kmers_flat, qstart, KLEN - W19 + 1, MINIMIZER_SEED, T16, H,
             TR16, R19,
         )
     else:
-        from bigsi_tpu.hashing.scheme import minimizer_tiles, slot_hashes_v2
-        from bigsi_tpu.kmers import canonicalize_kmer_matrix
+        from bigsi_tpu.hashing.scheme import minimizer_tiles, slot_hashes_v3
 
         tile19 = (
-            minimizer_tiles(kmers_flat, T16, KLEN - W19 + 1, scheme=2)
+            minimizer_tiles(kmers_flat, T16, KLEN - W19 + 1, scheme=3)
             .reshape(B, K)
             .astype(np.int32)
         )
-        canon19 = canonicalize_kmer_matrix(kmers_flat.copy())
-        sl19 = slot_hashes_v2(canon19, H, TR16).astype(np.uint32)
+        sl19 = slot_hashes_v3(kmers_flat, H, TR16).astype(np.uint32)
         sm19 = np.bitwise_or.reduce(
             np.uint32(1) << sl19, axis=1
         ).reshape(B, K)
@@ -440,7 +439,7 @@ def main():
         )
     )
     print(
-        "detail: %s m=%d N=%d B=%d K=%d h=%d slot-scheme v2, real "
+        "detail: %s m=%d N=%d B=%d K=%d h=%d slot-scheme v3, real "
         "sliding-window streams | cols16-w19 %.3f ms/step (%.1f Mrows/s, "
         "U=%d, bg m-premium 6x, near-miss FPR 0.44 - threshold-screening "
         "config) | cols16-w11 %.3f ms/step (%.1f Mrows/s, U=%d) | "

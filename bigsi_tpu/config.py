@@ -96,6 +96,11 @@ def validate_config(config: dict) -> dict:
                 "slot scheme v2 derives h slots from one 32-bit hash and "
                 "supports h <= 5; got h=%r" % (config.get("h"),)
             )
+        if slot_scheme == 3 and config.get("h", 0) > 10:
+            raise ValueError(
+                "slot scheme v3 derives h slots from one 64-bit hash and "
+                "supports h <= 10; got h=%r" % (config.get("h"),)
+            )
     window = config.get("minimizer-window")
     if window is not None:
         if layout != "minimizer":

@@ -375,7 +375,7 @@ class DeviceEngine:
 
         return (
             self.layout == "minimizer"
-            and self.slot_scheme == 2
+            and self.slot_scheme in (2, 3)
             and self.cols is not None
             and native.available()
         )
@@ -398,13 +398,18 @@ class DeviceEngine:
         k = kmer_rows.shape[1]
         s = window_to_s(k, self.minimizer_window) or default_minimizer_s(k)
         num_tiles = max(1, self.matrix.num_rows // self.tile_rows)
-        out = native.prep_minimizer_v2(
+        prep = (
+            native.prep_minimizer_v3
+            if self.slot_scheme == 3
+            else native.prep_minimizer_v2
+        )
+        out = prep(
             kmer_rows, qstart, s, MINIMIZER_SEED, num_tiles, h,
             self.tile_rows, self.run_len or GROUP_R,
         )
         if out is None:
             raise RuntimeError(
-                "native prep_minimizer_v2 unavailable — call "
+                "native fused prep unavailable — call "
                 "supports_kmer_batch() first"
             )
         utile, gmask, n_valid = out

@@ -70,6 +70,7 @@ def _load():
             ]
             lib.grouped_streams.restype = ctypes.c_int64
             lib.prep_minimizer_v2.restype = ctypes.c_int64
+            lib.prep_minimizer_v3.restype = ctypes.c_int64
             _lib = lib
         except (OSError, AttributeError) as e:
             logger.warning(
@@ -275,6 +276,89 @@ def prep_minimizer_v2(
         ctypes.c_int(k),
         ctypes.c_int(s),
         ctypes.c_uint32(seed & 0xFFFFFFFF),
+        ctypes.c_int64(num_tiles),
+        ctypes.c_int(h),
+        ctypes.c_int(tile_rows),
+        ctypes.c_int(r),
+        ctypes.c_int64(k_cap),
+        ctypes.c_int(nthreads),
+        _ptr(utile),
+        _ptr(gmask),
+        _ptr(n_valid),
+    )
+    if u_max < 0:
+        return None
+    u = max(u_bucket, ((int(u_max) + u_bucket - 1) // u_bucket) * u_bucket)
+    u = min(u, k_cap)
+    return (
+        np.ascontiguousarray(utile[:, :u]),
+        np.ascontiguousarray(gmask[:, :u]),
+        n_valid,
+    )
+
+
+def minimizer_tiles_v3(
+    kmers: np.ndarray, s: int, seed: int, num_tiles: int
+) -> np.ndarray | None:
+    """Slot-scheme-v3 tiles: rolling 2-bit codes + splitmix64 ordering."""
+    lib = _load()
+    if lib is None:
+        return None
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint8)
+    K, k = kmers.shape
+    if s < 1 or s > k or k > 32 or k - s + 1 > 64:
+        return None
+    out = np.empty(K, dtype=np.int64)
+    lib.minimizer_tiles_v3(
+        _ptr(kmers),
+        ctypes.c_int64(K),
+        ctypes.c_int(k),
+        ctypes.c_int(s),
+        ctypes.c_uint64(seed),
+        ctypes.c_int64(num_tiles),
+        _ptr(out),
+    )
+    return out
+
+
+def prep_minimizer_v3(
+    kmers: np.ndarray,
+    qstart: np.ndarray,
+    s: int,
+    seed: int,
+    num_tiles: int,
+    h: int,
+    tile_rows: int,
+    r: int,
+    nthreads: int = 0,
+    u_bucket: int = 16,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Fused serving prep, slot scheme v3 (rolling 2-bit codes +
+    splitmix64 — O(1) per k-mer, no byte hashing).  Same contract as
+    :func:`prep_minimizer_v2`."""
+    lib = _load()
+    if lib is None:
+        return None
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint8)
+    qstart = np.ascontiguousarray(qstart, dtype=np.int64)
+    b = len(qstart) - 1
+    n, k = kmers.shape
+    if b < 0 or qstart[-1] != n:
+        return None
+    k_cap = int(np.diff(qstart).max()) if b else 0
+    k_cap = max(k_cap, 1)
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    utile = np.zeros((b, k_cap), dtype=np.int32)
+    gmask = np.zeros((b, k_cap, r), dtype=np.uint32)
+    n_valid = np.zeros(b, dtype=np.int32)
+    u_max = lib.prep_minimizer_v3(
+        _ptr(kmers),
+        _ptr(qstart),
+        ctypes.c_int64(b),
+        ctypes.c_int(k),
+        ctypes.c_int(s),
+        ctypes.c_uint64(seed),
         ctypes.c_int64(num_tiles),
         ctypes.c_int(h),
         ctypes.c_int(tile_rows),

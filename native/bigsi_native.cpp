@@ -512,6 +512,205 @@ int64_t prep_minimizer_v2(const uint8_t* kmers, const int64_t* qstart,
   return u_max;
 }
 
+// ----------------------------------------------- minimizer slot-scheme v3
+//
+// Rolling-hash serving scheme (persisted as ksi:slot_scheme=3; the
+// serving default for new minimizer builds): k-mers and s-mers are
+// 2-bit packed (A=0 C=1 G=2 T=3, other bytes -> 0) into uint64 codes
+// maintained INCREMENTALLY along the sliding window — O(1) per k-mer,
+// no byte hashing at all:
+//
+//   canon = min(fwd_code, rc_code)       (MSB-first packing preserves
+//                                         lexicographic order on ACGT)
+//   slot_j = (splitmix64(canon_kmer) >> (6*j)) % tile_rows
+//   window order hash = splitmix64(canon_smer)
+//   tile = (min over windows) % num_tiles
+//
+// Strand invariance holds by construction (min of the two strands'
+// codes).  splitmix64 is the standard finalizer (Steele et al. 2014);
+// the numpy oracle lives in bigsi_tpu/hashing/scheme.py and is
+// parity-tested against this file.
+
+static inline uint64_t splitmix64(uint64_t z) {
+  z += 0x9E3779B97F4A7C15ull;
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+  return z ^ (z >> 31);
+}
+
+static inline uint64_t base_code(uint8_t b) {
+  // A=0 C=1 G=2 T=3; any other byte (N, lowercase, ...) maps to 0 —
+  // deterministic on both build and query sides, so lookups agree
+  switch (b) {
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'T': return 3;
+    default: return 0;
+  }
+}
+
+// Fused serving prep, slot scheme v3 (same contract as
+// prep_minimizer_v2).  One rolling pass: per ROW an O(1) code update
+// (overlap) or an O(k) rebuild (segment start), a window-minimum scan,
+// and the grouped-stream append.
+int64_t prep_minimizer_v3(const uint8_t* kmers, const int64_t* qstart,
+                          int64_t B, int k, int s, uint64_t seed,
+                          int64_t num_tiles, int h, int tile_rows, int r,
+                          int64_t K_cap, int nthreads, int32_t* utile,
+                          uint32_t* gmask, int32_t* n_valid) {
+  if (s < 1 || s > k || k > 32 || k - s + 1 > 64 || h < 1 || h > 10 ||
+      tile_rows < 1 || r < 1 || B < 0 || num_tiles < 1)
+    return -1;
+  const int w = k - s + 1;
+  const uint64_t kmask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+  const uint64_t smask_code = (1ull << (2 * s)) - 1;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > B) nthreads = B > 0 ? (int)B : 1;
+  std::vector<int64_t> u_max_per((size_t)std::max(nthreads, 1), 0);
+
+  auto run = [&](int t, int64_t b0, int64_t b1) {
+    // ring buffer of window-order hashes + amortized sliding minimum:
+    // track the min's ring slot; only rescan the w-window when the
+    // minimum falls off the left edge (expected every ~w/2 rows)
+    uint64_t hw[64];
+    int64_t u_max = 0;
+    for (int64_t q = b0; q < b1; q++) {
+      const int64_t r0 = qstart[q], r1 = qstart[q + 1];
+      n_valid[q] = (int32_t)(r1 - r0);
+      int32_t* urow = utile + q * K_cap;
+      uint32_t* grow = gmask + q * K_cap * r;
+      int64_t entry = -1;
+      int32_t cur_tile = -1;
+      int slot = r;
+      bool have_prev = false;
+      uint64_t fwd = 0, rc = 0;  // rolling 2-bit codes of the kmer
+      int head = 0;              // ring slot of the OLDEST window
+      uint64_t mn = 0;
+      int mn_slot = 0;           // ring slot holding the minimum
+      for (int64_t i = r0; i < r1; i++) {
+        const uint8_t* row = kmers + i * k;
+        const bool overlap =
+            have_prev &&
+            std::memcmp(row, kmers + (i - 1) * k + 1, (size_t)(k - 1)) == 0;
+        if (overlap) {
+          const uint64_t c = base_code(row[k - 1]);
+          fwd = ((fwd << 2) | c) & kmask;
+          rc = (rc >> 2) | ((3 - c) << (2 * (k - 1)));
+          const uint64_t sf = fwd & smask_code;
+          const uint64_t sr = (rc >> (2 * (k - s))) & smask_code;
+          const uint64_t hv = splitmix64(seed ^ std::min(sf, sr));
+          const int expired = head;  // oldest window leaves
+          hw[head] = hv;             // newest takes its ring slot
+          head = head + 1 == w ? 0 : head + 1;
+          if (hv <= mn) {
+            mn = hv;
+            mn_slot = expired;
+          } else if (mn_slot == expired) {
+            mn = hw[0];  // the minimum fell off: rescan the window
+            mn_slot = 0;
+            for (int j = 1; j < w; j++)
+              if (hw[j] < mn) { mn = hw[j]; mn_slot = j; }
+          }
+        } else {
+          fwd = 0;
+          rc = 0;
+          for (int j = 0; j < k; j++) {
+            const uint64_t c = base_code(row[j]);
+            fwd = (fwd << 2) | c;
+            rc |= (3 - c) << (2 * j);
+          }
+          mn = ~0ull;
+          for (int j = 0; j < w; j++) {
+            const uint64_t sf = (fwd >> (2 * (k - s - j))) & smask_code;
+            const uint64_t sr = (rc >> (2 * j)) & smask_code;
+            hw[j] = splitmix64(seed ^ std::min(sf, sr));
+            if (hw[j] < mn) { mn = hw[j]; mn_slot = j; }
+          }
+          head = 0;
+        }
+        have_prev = true;
+        const int32_t tile = (int32_t)(mn % (uint64_t)num_tiles);
+        const uint64_t hv = splitmix64(std::min(fwd, rc));
+        uint32_t sm = 0;
+        for (int j = 0; j < h; j++)
+          sm |= 1u << ((uint32_t)(hv >> (6 * j)) % (uint32_t)tile_rows);
+        if (entry < 0 || tile != cur_tile || slot == r) {
+          entry++;
+          cur_tile = tile;
+          urow[entry] = tile;
+          slot = 0;
+        }
+        grow[entry * r + slot] = sm;
+        slot++;
+      }
+      u_max = std::max(u_max, entry + 1);
+    }
+    u_max_per[(size_t)t] = u_max;
+  };
+
+  if (nthreads <= 1 || B <= 1) {
+    run(0, 0, B);
+    return u_max_per[0];
+  }
+  std::vector<std::thread> threads;
+  const int64_t per = (B + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; t++) {
+    const int64_t b0 = (int64_t)t * per;
+    const int64_t b1 = std::min(B, b0 + per);
+    if (b0 >= b1) break;
+    threads.emplace_back(run, t, b0, b1);
+  }
+  for (auto& th : threads) th.join();
+  int64_t u_max = 0;
+  for (int64_t v : u_max_per) u_max = std::max(u_max, v);
+  return u_max;
+}
+
+// Standalone v3 tiles (build path / oracle cross-checks).
+void minimizer_tiles_v3(const uint8_t* kmers, int64_t K, int k, int s,
+                        uint64_t seed, int64_t num_tiles, int64_t* out) {
+  if (s < 1 || s > k || k > 32 || k - s + 1 > 64 || K <= 0) return;
+  const int w = k - s + 1;
+  const uint64_t smask_code = (1ull << (2 * s)) - 1;
+  const uint64_t kmask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+  uint64_t hw[64];
+  bool have_prev = false;
+  uint64_t fwd = 0, rc = 0;
+  for (int64_t i = 0; i < K; i++) {
+    const uint8_t* row = kmers + i * k;
+    const bool overlap =
+        have_prev &&
+        std::memcmp(row, kmers + (i - 1) * k + 1, (size_t)(k - 1)) == 0;
+    if (overlap) {
+      const uint64_t c = base_code(row[k - 1]);
+      fwd = ((fwd << 2) | c) & kmask;
+      rc = (rc >> 2) | ((3 - c) << (2 * (k - 1)));
+      if (w > 1)
+        std::memmove(hw, hw + 1, sizeof(uint64_t) * (size_t)(w - 1));
+      const uint64_t sf = fwd & smask_code;
+      const uint64_t sr = (rc >> (2 * (k - s))) & smask_code;
+      hw[w - 1] = splitmix64(seed ^ std::min(sf, sr));
+    } else {
+      fwd = 0;
+      rc = 0;
+      for (int j = 0; j < k; j++) {
+        const uint64_t c = base_code(row[j]);
+        fwd = (fwd << 2) | c;
+        rc |= (3 - c) << (2 * j);
+      }
+      for (int j = 0; j < w; j++) {
+        const uint64_t sf = (fwd >> (2 * (k - s - j))) & smask_code;
+        const uint64_t sr = (rc >> (2 * j)) & smask_code;
+        hw[j] = splitmix64(seed ^ std::min(sf, sr));
+      }
+    }
+    have_prev = true;
+    uint64_t mn = hw[0];
+    for (int j = 1; j < w; j++) mn = std::min(mn, hw[j]);
+    out[i] = (int64_t)(mn % (uint64_t)num_tiles);
+  }
+}
+
 // --------------------------------------------------------- query (host)
 
 // AND h packed rows per kmer and accumulate per-sample counts.

@@ -229,10 +229,13 @@ def test_fused_prep_rejects_bad_params():
 
 
 def test_default_slot_scheme():
+    from bigsi_tpu.hashing.scheme import SLOT_SCHEME_V3
+
     assert default_slot_scheme("classic") == SLOT_SCHEME_V1
     assert default_slot_scheme("blocked") == SLOT_SCHEME_V1
-    assert default_slot_scheme("minimizer") == SLOT_SCHEME_V2
+    assert default_slot_scheme("minimizer") == SLOT_SCHEME_V3
     assert default_slot_scheme("minimizer", {"slot-scheme": 1}) == SLOT_SCHEME_V1
+    assert default_slot_scheme("minimizer", {"slot-scheme": 2}) == SLOT_SCHEME_V2
 
 
 def test_config_validates_slot_scheme():
@@ -240,12 +243,16 @@ def test_config_validates_slot_scheme():
 
     base = {"k": 31, "m": 1000, "h": 3, "layout": "minimizer"}
     validate_config(dict(base, **{"slot-scheme": 2}))
+    validate_config(dict(base, **{"slot-scheme": 3}))
     with pytest.raises(ValueError):
-        validate_config(dict(base, **{"slot-scheme": 3}))
+        validate_config(dict(base, **{"slot-scheme": 4}))
     with pytest.raises(ValueError):
         validate_config({"k": 31, "m": 1000, "h": 3, "slot-scheme": 2})
     with pytest.raises(ValueError):
         validate_config(dict(base, h=6, **{"slot-scheme": 2}))
+    with pytest.raises(ValueError):
+        validate_config(dict(base, h=11, **{"slot-scheme": 3}))
+    validate_config(dict(base, h=6, **{"slot-scheme": 3}))
 
 
 def test_fused_serving_path_is_active_and_exact(tmp_path):
