@@ -169,15 +169,26 @@ _CODE_TABLE[ord("T")] = 3
 
 
 def pack_codes_v3(kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """ASCII matrix [K, k] -> (fwd, rc) uint64 2-bit codes (k <= 32)."""
+    """ASCII matrix [K, k] -> (fwd, rc) uint64 2-bit codes (k <= 32).
+
+    The rc code uses BYTE-revcomp semantics (complement only ACGT,
+    matching ``kmers.py reverse_comp``): rc == code(revcomp_bytes(kmer))
+    for EVERY byte value.  The naive ``3 - code`` complement disagrees
+    on non-ACGT bytes (N, lowercase: code 0 -> 3), which made
+    min(fwd, rc) differ between raw and byte-canonicalized forms — the
+    build hashes canonicalized k-mers while query paths hash raw forms,
+    so N-containing k-mers got different tiles/slots at build vs query
+    (silent false negatives).  For pure-ACGT input the two formulations
+    are identical, so calibration/goldens are unaffected.
+    """
     k = kmers.shape[1]
     if k > 32:
         raise ValueError("v3 packing needs k <= 32, got %d" % k)
     codes = _CODE_TABLE[kmers].astype(np.uint64)
+    rc_codes = _CODE_TABLE[_COMP_TABLE[kmers[:, ::-1]]].astype(np.uint64)
     sh_f = (2 * (k - 1 - np.arange(k, dtype=np.uint64))).astype(np.uint64)
-    sh_r = (2 * np.arange(k, dtype=np.uint64)).astype(np.uint64)
     fwd = np.bitwise_or.reduce(codes << sh_f, axis=1)
-    rc = np.bitwise_or.reduce((np.uint64(3) - codes) << sh_r, axis=1)
+    rc = np.bitwise_or.reduce(rc_codes << sh_f, axis=1)
     return fwd, rc
 
 

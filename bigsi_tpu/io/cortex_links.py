@@ -175,9 +175,16 @@ def traverse(graph: dict, links: dict, seed: str, colour: int = 0) -> str:
             orient ^= 1
         want = "F" if orient == 0 else "R"
         for lp in links.get(canon, ()):
-            if lp.direction == want:
+            # zero-junction links carry no branch information — admitting
+            # one would make live[0][1][0] blow up at the next junction
+            if lp.direction == want and lp.junctions:
                 live.append((0, lp.junctions))
-        nxt = adjacent_kmers(canon, graph[canon], orient)
+        edges = graph.get(canon)
+        if edges is None:
+            # an edge pointed at a k-mer the caller's graph dict doesn't
+            # hold (e.g. a partial/subset graph): the contig ends here
+            break
+        nxt = adjacent_kmers(canon, edges, orient)
         kmer = None
         if len(nxt) == 1:
             kmer = nxt[0]

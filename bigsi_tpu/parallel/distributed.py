@@ -115,17 +115,34 @@ def _spread_subset(devices, need: int):
     if need >= len(devices):
         return devices
     nproc = jax.process_count()
-    if need % nproc == 0:
-        per = need // nproc
-        by_proc = {}
-        for dev in devices:
-            by_proc.setdefault(dev.process_index, []).append(dev)
-        picked = []
-        for p in sorted(by_proc):
-            picked.extend(by_proc[p][:per])
-        if len(picked) == need:
-            return picked
-    return devices[:need]
+    if need % nproc != 0:
+        # A silent devices[:need] fallback concentrates the sub-mesh on
+        # the first host(s); processes left without mesh devices then
+        # crash in _local_word_slice.  Make the impossibility loud.
+        raise ValueError(
+            "mesh needs %d devices but %d processes cannot split them "
+            "evenly (%d %% %d != 0); pick axis sizes whose product is a "
+            "multiple of the process count" % (need, nproc, need, nproc)
+        )
+    per = need // nproc
+    by_proc = {}
+    for dev in devices:
+        by_proc.setdefault(dev.process_index, []).append(dev)
+    picked = []
+    for p in sorted(by_proc):
+        if len(by_proc[p]) < per:
+            raise ValueError(
+                "process %d holds %d devices but an even spread needs %d "
+                "per process" % (p, len(by_proc[p]), per)
+            )
+        picked.extend(by_proc[p][:per])
+    if len(picked) != need:
+        raise ValueError(
+            "even spread picked %d devices (need %d): devices span %d "
+            "process(es) but process_count() is %d"
+            % (len(picked), need, len(by_proc), nproc)
+        )
+    return picked
 
 
 def make_global_row_mesh(axis_sizes):
@@ -192,6 +209,12 @@ def _local_word_slice(words, mesh, shard_w, w):
             if c0 < w:
                 block[:, : w - c0] = words[:, c0:w]
             mine.append(block)
+    if not mine:
+        raise RuntimeError(
+            "process %d owns no devices in this mesh — the mesh must "
+            "span every participating host (see _spread_subset)"
+            % jax.process_index()
+        )
     return np.concatenate(mine, axis=1)
 
 

@@ -549,6 +549,23 @@ static inline uint64_t base_code(uint8_t b) {
   }
 }
 
+static inline uint64_t comp_code(uint8_t b) {
+  // code of the BYTE-complemented base: complement only ACGT (matching
+  // kmers.py reverse_comp / canonicalize_kmers, which leave non-ACGT
+  // bytes unchanged -> code 0).  Equals 3 - base_code(b) on ACGT but
+  // NOT on other bytes — using 3 - code there made rc codes differ
+  // between raw (query) and byte-canonicalized (build) forms of
+  // N-containing k-mers: silent false negatives.  Parity oracle:
+  // scheme.py pack_codes_v3.
+  switch (b) {
+    case 'A': return 3;
+    case 'C': return 2;
+    case 'G': return 1;
+    case 'T': return 0;
+    default: return 0;
+  }
+}
+
 // Fused serving prep, slot scheme v3 (same contract as
 // prep_minimizer_v2).  One rolling pass: per ROW an O(1) code update
 // (overlap) or an O(k) rebuild (segment start), a window-minimum scan,
@@ -593,9 +610,9 @@ int64_t prep_minimizer_v3(const uint8_t* kmers, const int64_t* qstart,
             have_prev &&
             std::memcmp(row, kmers + (i - 1) * k + 1, (size_t)(k - 1)) == 0;
         if (overlap) {
-          const uint64_t c = base_code(row[k - 1]);
-          fwd = ((fwd << 2) | c) & kmask;
-          rc = (rc >> 2) | ((3 - c) << (2 * (k - 1)));
+          const uint8_t b = row[k - 1];
+          fwd = ((fwd << 2) | base_code(b)) & kmask;
+          rc = (rc >> 2) | (comp_code(b) << (2 * (k - 1)));
           const uint64_t sf = fwd & smask_code;
           const uint64_t sr = (rc >> (2 * (k - s))) & smask_code;
           const uint64_t hv = splitmix64(seed ^ std::min(sf, sr));
@@ -615,9 +632,8 @@ int64_t prep_minimizer_v3(const uint8_t* kmers, const int64_t* qstart,
           fwd = 0;
           rc = 0;
           for (int j = 0; j < k; j++) {
-            const uint64_t c = base_code(row[j]);
-            fwd = (fwd << 2) | c;
-            rc |= (3 - c) << (2 * j);
+            fwd = (fwd << 2) | base_code(row[j]);
+            rc |= comp_code(row[j]) << (2 * j);
           }
           mn = ~0ull;
           for (int j = 0; j < w; j++) {
@@ -682,9 +698,9 @@ void minimizer_tiles_v3(const uint8_t* kmers, int64_t K, int k, int s,
         have_prev &&
         std::memcmp(row, kmers + (i - 1) * k + 1, (size_t)(k - 1)) == 0;
     if (overlap) {
-      const uint64_t c = base_code(row[k - 1]);
-      fwd = ((fwd << 2) | c) & kmask;
-      rc = (rc >> 2) | ((3 - c) << (2 * (k - 1)));
+      const uint8_t b = row[k - 1];
+      fwd = ((fwd << 2) | base_code(b)) & kmask;
+      rc = (rc >> 2) | (comp_code(b) << (2 * (k - 1)));
       if (w > 1)
         std::memmove(hw, hw + 1, sizeof(uint64_t) * (size_t)(w - 1));
       const uint64_t sf = fwd & smask_code;
@@ -694,9 +710,8 @@ void minimizer_tiles_v3(const uint8_t* kmers, int64_t K, int k, int s,
       fwd = 0;
       rc = 0;
       for (int j = 0; j < k; j++) {
-        const uint64_t c = base_code(row[j]);
-        fwd = (fwd << 2) | c;
-        rc |= (3 - c) << (2 * j);
+        fwd = (fwd << 2) | base_code(row[j]);
+        rc |= comp_code(row[j]) << (2 * j);
       }
       for (int j = 0; j < w; j++) {
         const uint64_t sf = (fwd >> (2 * (k - s - j))) & smask_code;

@@ -170,6 +170,31 @@ def test_traverse_uses_links_at_junction():
     assert traverse(graph, links_b, seed) == b
 
 
+def test_traverse_partial_graph_terminates():
+    # regression (round-3 advisor): an edge leading to a k-mer absent
+    # from the caller's graph dict must END the contig, not KeyError
+    seq = "AAATCAGGACTTGCC"
+    graph = _graph_from_seqs([seq], 5)
+    last = min(seq[-5:], reverse_complement(seq[-5:]))
+    del graph[last]
+    out = traverse(graph, {}, seq[:5])
+    assert out == seq  # the final base still lands, then the walk stops
+
+
+def test_traverse_skips_zero_junction_links():
+    # regression (round-3 advisor): an nj=0 link (empty junction string)
+    # must not be admitted to the live set — live[0][1][0] would IndexError
+    common = "AAATCAGGACT"
+    a = common + "TGCCG"
+    b = common + "CCTAC"
+    graph = _graph_from_seqs([a, b], 5)
+    seed = a[:5]
+    start = min(seed, reverse_complement(seed))
+    links = {start: [LinkPath("F", 3, [1], "")]}
+    stopped = traverse(graph, links, seed)
+    assert len(stopped) < len(a)  # behaves like no-links at the branch
+
+
 def test_adjacent_kmers_orientations():
     assert adjacent_kmers("ACGTA", (["C"], []), 0) == ["CGTAC"]
     assert adjacent_kmers("ACGTA", ([], ["T"]), 1) == ["TACGT"]

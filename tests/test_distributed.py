@@ -235,3 +235,27 @@ def test_distribute_words_never_densifies():
     assert garr.shape == (m, shard_w * s)
     # values survive the shard round-trip
     np.testing.assert_array_equal(np.asarray(garr)[:, :w], words)
+
+
+def test_spread_subset_rejects_uneven_split(monkeypatch):
+    # regression (round-3 advisor): an uneven need/process split used to
+    # fall back silently to devices[:need], concentrating the sub-mesh
+    # on the first host(s) and crashing other processes later in
+    # _local_word_slice.  It must raise a descriptive error instead.
+    import jax
+
+    from bigsi_tpu.parallel.distributed import _spread_subset
+
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="cannot split them evenly"):
+        _spread_subset(devices, 3)
+    # even need but devices spanning fewer processes than claimed: the
+    # picked-count guard fires rather than returning a short list
+    with pytest.raises(ValueError, match="even spread picked"):
+        _spread_subset(devices, 2)
+    # single-process (the real situation here): even splits succeed
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    assert len(_spread_subset(devices, 2)) == 2

@@ -119,6 +119,82 @@ def test_v3_non_acgt_deterministic():
     assert fast[0] == fast[1]
 
 
+def test_v3_non_acgt_raw_vs_canonical_parity():
+    # Regression (round-3 advisor, high): rc codes must use BYTE-revcomp
+    # semantics (complement only ACGT, non-ACGT stays code 0).  The old
+    # 3-code complement mapped N -> 3 ('T'-like) in rc only, so raw
+    # (query-side) and byte-canonicalized (build-side) forms of
+    # N-containing k-mers disagreed on min(fwd, rc) — different
+    # tiles/slots at build vs query, silent false negatives.
+    from bigsi_tpu.kmers import canonicalize_kmer_matrix, seq_to_kmer_matrix
+
+    seq = "TTTTTNTTTTTACGTNACGTAGCTAGNCTAnACG"
+    raw = seq_to_kmer_matrix(seq, 11)
+    canon = canonicalize_kmer_matrix(raw)
+    fr, rr = pack_codes_v3(raw)
+    fc, rcn = pack_codes_v3(canon)
+    assert np.array_equal(np.minimum(fr, rr), np.minimum(fc, rcn))
+    assert np.array_equal(
+        slot_hashes_v3(raw, 3, 16), slot_hashes_v3(canon, 3, 16)
+    )
+    s = default_minimizer_s(11)
+    for scheme_id in (SLOT_SCHEME_V3,):
+        t_raw = minimizer_tiles(raw, 997, s, scheme=scheme_id)
+        t_canon = minimizer_tiles(canon, 997, s, scheme=scheme_id)
+        assert np.array_equal(t_raw, t_canon)
+    # native fused prep on the raw form agrees with the numpy oracle on
+    # the canonical form (the exact build-vs-fused-serve split)
+    qstart = np.asarray([0, raw.shape[0]], dtype=np.int64)
+    out = native.prep_minimizer_v3(raw, qstart, s, MINIMIZER_SEED, 997, 3, 16, 6)
+    assert out is not None
+    utile, gmask, _ = out
+    import os
+
+    os.environ["BIGSI_TPU_NO_NATIVE"] = "1"
+    try:
+        tile = minimizer_tiles(canon, 997, s, scheme=SLOT_SCHEME_V3)
+    finally:
+        del os.environ["BIGSI_TPU_NO_NATIVE"]
+    smask = np.bitwise_or.reduce(
+        np.uint32(1) << slot_hashes_v3(canon, 3, 16).astype(np.uint32), axis=1
+    )
+    ut_o, gm_o = build_grouped_streams(
+        tile.reshape(1, -1).astype(np.int32), smask.reshape(1, -1), r=6
+    )
+    u = utile.shape[1]
+    assert np.array_equal(utile, ut_o[:, :u])
+    assert np.array_equal(gmask, gm_o[:, :u])
+
+
+def test_v3_end_to_end_with_n_bases(tmp_path):
+    # Build an index from sequences containing N; query with the raw
+    # (N-containing) sequence through BOTH engines — the k-mers must be
+    # found (the round-3 defect silently dropped them at query time).
+    from bigsi_tpu.graph.bigsi import BIGSI
+
+    config = {
+        "k": 31, "m": 65536, "h": 3, "layout": "minimizer", "tile-rows": 16,
+        "storage-engine": "rocksdb",
+        "storage-config": {"filename": str(tmp_path / "idx")},
+    }
+    rng = np.random.default_rng(9)
+    base = "".join("ACGT"[c] for c in rng.integers(0, 4, 150))
+    seq_n = base[:60] + "N" + base[61:]  # one N mid-sequence
+    blooms = [
+        BIGSI.bloom(config, [s[i : i + 31] for i in range(len(s) - 30)])
+        for s in (seq_n, base)
+    ]
+    host = BIGSI.build(config, blooms, ["with_n", "plain"])
+    query = seq_n[40:90]  # every k-mer overlaps the N
+    res = host.search(query, 1.0)
+    assert {r["sample_name"] for r in res} >= {"with_n"}
+    dev = BIGSI(dict(config, engine="tpu"))
+    assert dev.search(query, 1.0) == res
+    assert dev.search_batch([query], threshold=1.0) == host.search_batch(
+        [query], threshold=1.0
+    )
+
+
 def test_v3_differs_from_v2():
     rows, _ = _sliding_kmers(1, 64, 31)
     s = default_minimizer_s(31)
