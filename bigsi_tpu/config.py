@@ -101,6 +101,14 @@ def validate_config(config: dict) -> dict:
                 "slot scheme v3 derives h slots from one 64-bit hash and "
                 "supports h <= 10; got h=%r" % (config.get("h"),)
             )
+    run_len = config.get("run-len")
+    if run_len is not None:
+        if layout != "minimizer":
+            raise ValueError("'run-len' only applies to the minimizer layout")
+        if not isinstance(run_len, int) or run_len < 1:
+            raise ValueError(
+                "'run-len' must be a positive integer, got %r" % (run_len,)
+            )
     window = config.get("minimizer-window")
     if window is not None:
         if layout != "minimizer":

@@ -157,6 +157,7 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
                 tile_rows=config.get("tile-rows", 32),
                 minimizer_window=config.get("minimizer-window"),
                 slot_scheme=default_slot_scheme(layout, config),
+                run_len=config.get("run-len"),
             )
         storage.close()
         metrics.incr("build.samples", len(samples))
@@ -457,9 +458,10 @@ def _resolve_engine_factory(config, engine_factory):
             mesh = make_mesh(axis_sizes=axes[:3])
             return (
                 lambda matrix, layout="classic", tile_rows=32,
-                minimizer_window=None: MeshEngine(
+                minimizer_window=None, run_len=None: MeshEngine(
                     matrix, mesh=mesh, layout=layout, tile_rows=tile_rows,
                     row_shards=row_shards, minimizer_window=minimizer_window,
+                    run_len=run_len,
                 )
             )
         return MeshEngine
@@ -475,10 +477,10 @@ def _resolve_engine_factory(config, engine_factory):
             row_shards = axes[3] if len(axes) > 3 else 1
             return (
                 lambda matrix, layout="classic", tile_rows=32,
-                minimizer_window=None: DistributedEngine(
+                minimizer_window=None, run_len=None: DistributedEngine(
                     matrix, axis_sizes=axes[:3], layout=layout,
                     tile_rows=tile_rows, minimizer_window=minimizer_window,
-                    row_shards=row_shards,
+                    row_shards=row_shards, run_len=run_len,
                 )
             )
         return DistributedEngine

@@ -163,7 +163,7 @@ class DeviceEngine:
     def __init__(
         self, matrix: BitSliceMatrix, device=None, layout="classic",
         tile_rows: int = TILE_ROWS, minimizer_window: int | None = None,
-        slot_scheme: int = 1,
+        slot_scheme: int = 1, run_len: int | None = None,
     ):
         self.matrix = matrix
         self.device = device or jax.devices()[0]
@@ -171,10 +171,14 @@ class DeviceEngine:
         self.tile_rows = tile_rows
         self.slot_scheme = slot_scheme
         self.minimizer_window = minimizer_window
-        # grouped-stream run bucket: expected minimizer run ~(w+1)/2
-        self.run_len = (
-            (minimizer_window + 1) // 2 if minimizer_window else None
-        )
+        # grouped-stream run bucket: persisted per index (ksi:run_len);
+        # the tuned default r = w+1 holds any single-occurrence run in
+        # one entry (hashing/scheme.py default_run_len)
+        if run_len is None and layout == "minimizer":
+            from bigsi_tpu.hashing.scheme import default_run_len
+
+            run_len = default_run_len(minimizer_window)
+        self.run_len = run_len
         self.w = matrix.num_words
         self.cols = None
         if layout in ("blocked", "minimizer"):

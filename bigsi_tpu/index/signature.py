@@ -42,7 +42,7 @@ logger = logging.getLogger(__name__)
 
 def _make_engine(
     factory, matrix, layout, tile_rows, minimizer_window=None,
-    slot_scheme=SLOT_SCHEME_V1,
+    slot_scheme=SLOT_SCHEME_V1, run_len=None,
 ):
     """Engines that understand hash layouts get told which one is live;
     plain row-gather engines (any layout is just absolute rows to them)
@@ -62,6 +62,8 @@ def _make_engine(
         kwargs["minimizer_window"] = minimizer_window
     if "slot_scheme" in params:
         kwargs["slot_scheme"] = slot_scheme
+    if "run_len" in params:
+        kwargs["run_len"] = run_len
     return factory(matrix, **kwargs)
 
 
@@ -71,6 +73,7 @@ LAYOUT_KEY = "ksi:layout"
 TILE_ROWS_KEY = "ksi:tile_rows"
 MINIMIZER_WINDOW_KEY = "ksi:minimizer_window"
 SLOT_SCHEME_KEY = "ksi:slot_scheme"
+RUN_LEN_KEY = "ksi:run_len"
 
 
 class KmerSignatureIndex:
@@ -96,12 +99,21 @@ class KmerSignatureIndex:
             self.slot_scheme = storage.kv.get_integer(SLOT_SCHEME_KEY)
         except KeyError:
             self.slot_scheme = SLOT_SCHEME_V1  # legacy persisted indexes
+        try:
+            self.run_len = storage.kv.get_integer(RUN_LEN_KEY)
+        except KeyError:
+            # legacy indexes: query with the tuned per-window default
+            # (r is query-time bucketing, not an index property)
+            from bigsi_tpu.hashing.scheme import default_run_len
+
+            self.run_len = default_run_len(self.minimizer_window)
         self.bitmatrix = storage.load_matrix()
         self.side = storage.load_side()  # staged inserts, may be None
         self._engine_factory = engine_factory or HostEngine
         self.engine = _make_engine(
             self._engine_factory, self.bitmatrix, self.layout,
             self.tile_rows, self.minimizer_window, self.slot_scheme,
+            self.run_len,
         )
 
     @classmethod
@@ -116,6 +128,7 @@ class KmerSignatureIndex:
         tile_rows=DEFAULT_TILE_ROWS,
         minimizer_window=None,
         slot_scheme=None,
+        run_len=None,
     ) -> "KmerSignatureIndex":
         bloomfilters = [
             bf.bitarray if hasattr(bf, "bitarray") else np.asarray(bf)
@@ -143,6 +156,14 @@ class KmerSignatureIndex:
             storage.kv.set_integer(
                 MINIMIZER_WINDOW_KEY, int(minimizer_window)
             )
+        if layout == "minimizer":
+            from bigsi_tpu.hashing.scheme import default_run_len
+
+            if run_len is None:
+                run_len = default_run_len(minimizer_window)
+            if run_len < 1:
+                raise ValueError("run_len must be >= 1, got %r" % run_len)
+            storage.kv.set_integer(RUN_LEN_KEY, int(run_len))
         from bigsi_tpu.utils.profiling import phase
 
         if lowmem and hasattr(storage, "rows_path"):

@@ -584,16 +584,21 @@ class DistributedEngine:
 
     def __init__(self, matrix, axis_sizes=None, bucket=(8, 64),
                  layout="classic", tile_rows: int = 32,
-                 minimizer_window: int | None = None, row_shards: int = 1):
+                 minimizer_window: int | None = None, row_shards: int = 1,
+                 run_len: int | None = None):
         words = np.asarray(matrix.words)  # mmap passes through un-copied
         self.num_cols = matrix.num_cols
         self.layout = layout
         self.tile_rows = tile_rows
+        if run_len is None and layout == "minimizer":
+            from bigsi_tpu.hashing.scheme import default_run_len
+
+            run_len = default_run_len(minimizer_window)
         mesh = make_global_mesh(axis_sizes)
         self.service = DistributedQueryService(
             words, mesh, m=words.shape[0], num_samples=matrix.num_cols,
             bucket=bucket, layout=layout, tile_rows=tile_rows,
-            run_len=(minimizer_window + 1) // 2 if minimizer_window else None,
+            run_len=run_len,
             row_shards=row_shards,
         )
 

@@ -369,15 +369,17 @@ class MeshEngine:
     def __init__(
         self, matrix, mesh: Mesh | None = None, h: int | None = None,
         layout: str = "classic", tile_rows: int = 32, row_shards: int = 1,
-        minimizer_window: int | None = None,
+        minimizer_window: int | None = None, run_len: int | None = None,
     ):
         self.matrix = matrix
         self.mesh = mesh or make_mesh()
         self.layout = layout
         self.tile_rows = tile_rows
-        self.run_len = (
-            (minimizer_window + 1) // 2 if minimizer_window else None
-        )
+        if run_len is None and layout == "minimizer":
+            from bigsi_tpu.hashing.scheme import default_run_len
+
+            run_len = default_run_len(minimizer_window)
+        self.run_len = run_len
         self.row_shards = row_shards
         if row_shards > 1 and layout not in ("blocked", "minimizer"):
             raise ValueError(
