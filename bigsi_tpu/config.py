@@ -131,6 +131,50 @@ def validate_config(config: dict) -> dict:
                     window, k - window + 1,
                 )
             )
+    screen = config.get("screen")
+    if screen is not None:
+        if screen is not True and screen != "minimizer":
+            raise ValueError(
+                "config key 'screen' must be 'minimizer', got %r" % (screen,)
+            )
+        if layout != "classic":
+            raise ValueError(
+                "a screened (verified) index keeps layout=classic - the "
+                "minimizer structure is the SCREEN; got layout=%r" % layout
+            )
+        sm = config.get("screen-m", config["m"])
+        if not isinstance(sm, int) or sm <= 0:
+            raise ValueError("'screen-m' must be a positive integer")
+        str_ = config.get("screen-tile-rows", 16)
+        if str_ not in KNOWN_TILE_ROWS:
+            raise ValueError(
+                "'screen-tile-rows' must be one of %s, got %r"
+                % (list(KNOWN_TILE_ROWS), str_)
+            )
+        sw = config.get("screen-window", 19)
+        k = config["k"]
+        if not isinstance(sw, int) or not 1 <= sw <= k or k - sw + 1 < 13:
+            raise ValueError(
+                "'screen-window' must be an integer in [1, k] leaving "
+                "s-mers >= 13 bases, got %r" % (sw,)
+            )
+        if config.get("h", 0) > 10:
+            raise ValueError(
+                "screened indexes use slot scheme v3 (h <= 10); got h=%r"
+                % (config.get("h"),)
+            )
+    else:
+        for key in ("screen-m", "screen-tile-rows", "screen-window",
+                    "screen-run-len", "verify-margin"):
+            if key in config:
+                raise ValueError(
+                    "config key %r needs 'screen: minimizer'" % key
+                )
+    vm = config.get("verify-margin")
+    if vm is not None and (not isinstance(vm, int) or vm < 0):
+        raise ValueError(
+            "'verify-margin' must be a non-negative integer, got %r" % (vm,)
+        )
     if config["k"] > 31:
         raise ValueError("k must be <= 31 (2-bit uint64 packing)")
     return config

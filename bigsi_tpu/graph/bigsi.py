@@ -123,9 +123,11 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
     @classmethod
     def bloom(cls, config, kmers):
         from bigsi_tpu.hashing.scheme import default_slot_scheme
+        from bigsi_tpu.index.verify import screen_params_from_config
 
-        kmers = convert_query_kmers(kmers)
+        kmers = list(convert_query_kmers(kmers))
         layout = config.get("layout", "classic")
+        screen = screen_params_from_config(config)
         bloomfilter = BloomFilter(
             m=config["m"],
             h=config["h"],
@@ -135,7 +137,18 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             slot_scheme=default_slot_scheme(layout, config),
         )
         bloomfilter.update(kmers)
-        return bloomfilter.bitarray
+        if screen is None:
+            return bloomfilter.bitarray
+        # verified build: classic bloom (m bits) + minimizer screen
+        # bloom (screen m bits) concatenated — one .bloom artifact per
+        # sample still restarts a build (SURVEY §5.4)
+        sbloom = BloomFilter(
+            m=screen["m"], h=config["h"], layout="minimizer",
+            tile_rows=screen["tile_rows"], window=screen["window"],
+            slot_scheme=screen["slot_scheme"],
+        )
+        sbloom.update(kmers)
+        return np.concatenate([bloomfilter.bitarray, sbloom.bitarray])
 
     @classmethod
     def build(cls, config, bloomfilters, samples, engine_factory=None):
@@ -145,6 +158,7 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             SampleMetadata(storage.kv).add_samples(samples)
         with device_trace("build.index", config):
             from bigsi_tpu.hashing.scheme import default_slot_scheme
+            from bigsi_tpu.index.verify import screen_params_from_config
 
             layout = config.get("layout", "classic")
             KmerSignatureIndex.create(
@@ -158,6 +172,7 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
                 minimizer_window=config.get("minimizer-window"),
                 slot_scheme=default_slot_scheme(layout, config),
                 run_len=config.get("run-len"),
+                screen=screen_params_from_config(config),
             )
         storage.close()
         metrics.incr("build.samples", len(samples))
@@ -178,6 +193,21 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             # crashes here (UnboundLocalError in unpack_and_sum) — we
             # return no hits instead.
             return []
+        if self.screen is not None and not score:
+            # two-stage verified search: screen (minimizer, device) ->
+            # classic verification of candidate colours (rows.bin).
+            # score=True takes the classic host path below instead —
+            # scoring needs full per-kmer presence anyway, and the
+            # classic engine IS the verified semantics.
+            min_kmers = math.ceil(num_kmers * threshold)
+            with phase("search.verified"):
+                results = self._verified_filter(uniq, num_kmers, min_kmers,
+                                                threshold)
+            return [
+                r.todict()
+                for r in results
+                if not r.sample_name == DELETION_SPECIAL_SAMPLE_NAME
+            ]
         with phase("search.lookup"):
             row_idx = self.kmer_matrix_to_row_idx(uniq)
             packed = self.engine.and_rows(row_idx)
@@ -232,6 +262,10 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             inverses.append(inverse if score else None)
             nks.append(uniq.shape[0])
         score_info = list(zip(mats, inverses)) if score else None
+        if self.screen is not None and not score:
+            metrics.incr("search.queries", b)
+            metrics.incr("search.kmers", int(sum(nks)))
+            return self._verified_batch(mats, nks, threshold)
         if self.side is None and getattr(
             engine, "supports_kmer_batch", lambda: False
         )():
@@ -280,6 +314,143 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         metrics.incr("search.queries", b)
         metrics.incr("search.kmers", int(mask.sum()))
         return self._batch_results(per_query, counts, threshold, score_info)
+
+    # -- two-stage verified search (screened indexes) ------------------
+
+    def _screen_candidates(self, scounts, num_kmers, min_kmers):
+        """Colours whose screen count clears the margin-loosened
+        threshold (see index/verify.py docstring for the bound)."""
+        from bigsi_tpu.index.verify import screen_margin
+
+        margin = screen_margin(num_kmers, self.config.get("verify-margin"))
+        return np.flatnonzero(
+            scounts[: self.bitmatrix.num_cols] >= max(1, min_kmers - margin)
+        )
+
+    def _verified_results(
+        self, cand, vcounts, c_idx, num_kmers, min_kmers, threshold
+    ):
+        """Result objects from verified counts + always-verified side
+        columns; ordering parity with the classic filters."""
+        keep = vcounts >= min_kmers
+        results = [
+            BigsiQueryResult(
+                colour=int(c),
+                sample_name=self.colour_to_sample(int(c)),
+                num_kmers_found=int(n),
+                num_kmers=num_kmers,
+            )
+            for c, n in zip(cand[keep], vcounts[keep])
+        ]
+        side_pres = self.side_presence(c_idx)
+        if side_pres is not None and side_pres.size:
+            base = self.bitmatrix.num_cols
+            for j, n in enumerate(side_pres.sum(axis=0)):
+                if n >= min_kmers:
+                    results.append(
+                        BigsiQueryResult(
+                            colour=base + j,
+                            sample_name=self.colour_to_sample(base + j),
+                            num_kmers_found=int(n),
+                            num_kmers=num_kmers,
+                        )
+                    )
+        if threshold != 1.0:
+            results.sort(key=lambda x: x.num_kmers_found, reverse=True)
+        return results
+
+    def _verified_filter(self, uniq, num_kmers, min_kmers, threshold):
+        from bigsi_tpu.index.verify import classic_counts_for_colours
+
+        s_idx = self.screen_row_idx(uniq)
+        packed = self.screen_engine.and_rows(s_idx)
+        scounts = self.screen_engine.counts(packed, self.bitmatrix.num_cols)
+        cand = self._screen_candidates(scounts, num_kmers, min_kmers)
+        c_idx = self.kmer_matrix_to_row_idx(uniq)  # classic rows
+        vcounts = classic_counts_for_colours(
+            self.bitmatrix.words, c_idx, cand
+        )
+        return self._verified_results(
+            cand, vcounts, c_idx, num_kmers, min_kmers, threshold
+        )
+
+    def _verified_batch(self, mats, nks, threshold):
+        """Batched two-stage search: one screen dispatch (the fused
+        serving path when available), one threaded verify pass."""
+        from bigsi_tpu.index.verify import verify_queries
+
+        b = len(mats)
+        h = self.num_hashes
+        n_main = self.bitmatrix.num_cols
+        engine = self.screen_engine
+        if self.side is None and getattr(
+            engine, "supports_kmer_batch", lambda: False
+        )():
+            qstart = np.zeros(b + 1, dtype=np.int64)
+            np.cumsum(nks, out=qstart[1:])
+            kmer_rows = (
+                np.concatenate(mats)
+                if qstart[-1]
+                else np.empty((0, self.kmer_size), dtype=np.uint8)
+            )
+            with phase("search.screen_counts"):
+                scounts = engine.counts_batch_kmers(
+                    kmer_rows, qstart, h, n_main
+                )
+        else:
+            kmax = max(1, max(nks, default=1))
+            idx = np.zeros((b, kmax, h), dtype=np.int64)
+            mask = np.zeros((b, kmax), dtype=bool)
+            for i, uniq in enumerate(mats):
+                if nks[i]:
+                    idx[i, : nks[i]] = self.screen_row_idx(uniq)
+                    mask[i, : nks[i]] = True
+            with phase("search.screen_counts"):
+                if hasattr(engine, "counts_batch"):
+                    scounts = engine.counts_batch(idx, mask, n_main)
+                else:
+                    from bigsi_tpu.index.host_engine import (
+                        counts_batch_fallback,
+                    )
+
+                    scounts = counts_batch_fallback(engine, idx, mask, n_main)
+        cands, c_idxs = [], []
+        min_kmers_list = []
+        for i, uniq in enumerate(mats):
+            nk = nks[i]
+            if nk == 0:
+                cands.append(None)
+                c_idxs.append(None)
+                min_kmers_list.append(0)
+                continue
+            min_kmers = math.ceil(nk * threshold)
+            min_kmers_list.append(min_kmers)
+            cand = self._screen_candidates(scounts[i], nk, min_kmers)
+            cands.append(cand)
+            c_idxs.append(
+                self.kmer_matrix_to_row_idx(uniq)
+                if (cand.size or self.side is not None)
+                else None
+            )
+        with phase("search.verify"):
+            vcounts = verify_queries(self.bitmatrix.words, c_idxs, cands)
+        out = []
+        for i in range(b):
+            if nks[i] == 0:
+                out.append([])
+                continue
+            results = self._verified_results(
+                cands[i] if cands[i] is not None else np.empty(0, np.int64),
+                vcounts[i], c_idxs[i], nks[i], min_kmers_list[i], threshold,
+            )
+            out.append(
+                [
+                    r.todict()
+                    for r in results
+                    if not r.sample_name == DELETION_SPECIAL_SAMPLE_NAME
+                ]
+            )
+        return out
 
     def _batch_results(self, per_query, counts, threshold, score_info=None):
         out = []

@@ -74,6 +74,34 @@ TILE_ROWS_KEY = "ksi:tile_rows"
 MINIMIZER_WINDOW_KEY = "ksi:minimizer_window"
 SLOT_SCHEME_KEY = "ksi:slot_scheme"
 RUN_LEN_KEY = "ksi:run_len"
+# verified indexes (two-stage search): the minimizer screen's params —
+# the MAIN layout stays classic (rows.bin carries reference semantics)
+SCREEN_M_KEY = "ksi:screen_m"
+SCREEN_TILE_ROWS_KEY = "ksi:screen_tile_rows"
+SCREEN_WINDOW_KEY = "ksi:screen_window"
+SCREEN_SCHEME_KEY = "ksi:screen_scheme"
+SCREEN_RUN_LEN_KEY = "ksi:screen_run_len"
+
+
+class _BitSlice:
+    """Read-only bit window [start, start+n) over a bloom bit sequence
+    (dense bool array or LazyBloomFile) — lets verified builds feed the
+    classic and screen halves of a concatenated bloom to the chunked
+    transpose without materializing either half."""
+
+    def __init__(self, bits, start: int, n: int):
+        self.bits, self.start, self.n = bits, int(start), int(n)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            a, b, step = key.indices(self.n)
+            if step != 1:
+                raise ValueError("_BitSlice supports step-1 slices only")
+            return self.bits[self.start + a : self.start + b]
+        return self.bits[self.start + key.__index__()]
 
 
 class KmerSignatureIndex:
@@ -110,11 +138,37 @@ class KmerSignatureIndex:
         self.bitmatrix = storage.load_matrix()
         self.side = storage.load_side()  # staged inserts, may be None
         self._engine_factory = engine_factory or HostEngine
-        self.engine = _make_engine(
-            self._engine_factory, self.bitmatrix, self.layout,
-            self.tile_rows, self.minimizer_window, self.slot_scheme,
-            self.run_len,
-        )
+        self.screen = None  # dict of screen params when verified
+        self.screen_matrix = None
+        self.screen_engine = None
+        try:
+            screen_m = storage.kv.get_integer(SCREEN_M_KEY)
+        except KeyError:
+            screen_m = None
+        if screen_m is not None:
+            self.screen = {
+                "m": screen_m,
+                "tile_rows": storage.kv.get_integer(SCREEN_TILE_ROWS_KEY),
+                "window": storage.kv.get_integer(SCREEN_WINDOW_KEY),
+                "slot_scheme": storage.kv.get_integer(SCREEN_SCHEME_KEY),
+                "run_len": storage.kv.get_integer(SCREEN_RUN_LEN_KEY),
+            }
+            self.screen_matrix = storage.load_screen()
+            # the configured engine accelerates the SCREEN; the classic
+            # matrix is verified host-side from rows.bin (never staged
+            # to HBM — candidate-word verification reads a sliver of it)
+            self.screen_engine = _make_engine(
+                self._engine_factory, self.screen_matrix, "minimizer",
+                self.screen["tile_rows"], self.screen["window"],
+                self.screen["slot_scheme"], self.screen["run_len"],
+            )
+            self.engine = HostEngine(self.bitmatrix)
+        else:
+            self.engine = _make_engine(
+                self._engine_factory, self.bitmatrix, self.layout,
+                self.tile_rows, self.minimizer_window, self.slot_scheme,
+                self.run_len,
+            )
 
     @classmethod
     def create(
@@ -129,11 +183,29 @@ class KmerSignatureIndex:
         minimizer_window=None,
         slot_scheme=None,
         run_len=None,
+        screen=None,
     ) -> "KmerSignatureIndex":
         bloomfilters = [
             bf.bitarray if hasattr(bf, "bitarray") else np.asarray(bf)
             for bf in bloomfilters
         ]
+        if screen is not None:
+            # verified build: each bloom is the CLASSIC bloom (m bits)
+            # followed by the screen bloom (screen m bits); the main
+            # layout is forced classic (rows.bin = reference semantics)
+            if layout != CLASSIC:
+                raise ValueError(
+                    "a screened (verified) index keeps layout=classic; "
+                    "got layout=%r" % layout
+                )
+            total = bloomfilter_size + screen["m"]
+            for bf in bloomfilters:
+                if len(bf) != total:
+                    raise ValueError(
+                        "verified blooms carry m + screen-m = %d bits, "
+                        "got %d (build blooms with the same 'screen' "
+                        "config)" % (total, len(bf))
+                    )
         if layout not in LAYOUTS:
             raise ValueError("unknown layout %r" % layout)
         if tile_rows not in KNOWN_TILE_ROWS:
@@ -164,6 +236,25 @@ class KmerSignatureIndex:
             if run_len < 1:
                 raise ValueError("run_len must be >= 1, got %r" % run_len)
             storage.kv.set_integer(RUN_LEN_KEY, int(run_len))
+        if screen is not None:
+            storage.kv.set_integer(SCREEN_M_KEY, int(screen["m"]))
+            storage.kv.set_integer(
+                SCREEN_TILE_ROWS_KEY, int(screen["tile_rows"])
+            )
+            storage.kv.set_integer(SCREEN_WINDOW_KEY, int(screen["window"]))
+            storage.kv.set_integer(
+                SCREEN_SCHEME_KEY, int(screen["slot_scheme"])
+            )
+            storage.kv.set_integer(
+                SCREEN_RUN_LEN_KEY, int(screen["run_len"])
+            )
+            screen_parts = [
+                _BitSlice(bf, bloomfilter_size, screen["m"])
+                for bf in bloomfilters
+            ]
+            bloomfilters = [
+                _BitSlice(bf, 0, bloomfilter_size) for bf in bloomfilters
+            ]
         from bigsi_tpu.utils.profiling import phase
 
         if lowmem and hasattr(storage, "rows_path"):
@@ -183,6 +274,12 @@ class KmerSignatureIndex:
                 num_words=w,
                 num_cols=len(bloomfilters),
             )
+            if screen is not None:
+                with phase("build.transpose_screen_streamed"):
+                    sw = transpose_blooms_to_file(
+                        screen_parts, screen["m"], storage.screen_path()
+                    )
+                storage.adopt_screen(num_rows=screen["m"], num_words=sw)
             storage.sync()
             return cls(storage)
 
@@ -191,6 +288,11 @@ class KmerSignatureIndex:
         matrix = BitSliceMatrix(words, num_cols=len(bloomfilters))
         with phase("build.persist"):
             storage.save_matrix(matrix)
+            if screen is not None:
+                swords = transpose_blooms(screen_parts, screen["m"])
+                storage.save_screen(
+                    BitSliceMatrix(swords, num_cols=len(screen_parts))
+                )
             storage.sync()
         return cls(storage)
 
@@ -207,6 +309,17 @@ class KmerSignatureIndex:
             canon, self.num_hashes, self.bloomfilter_size, self.layout,
             self.tile_rows, tile_source=kmer_matrix,
             window=self.minimizer_window, slot_scheme=self.slot_scheme,
+        )
+
+    def screen_row_idx(self, kmer_matrix: np.ndarray) -> np.ndarray:
+        """Screen-stage rows (verified indexes): minimizer-layout
+        indices into screen.bin, int64 [K, h]."""
+        sc = self.screen
+        canon = canonicalize_kmer_matrix(kmer_matrix)
+        return row_indices(
+            canon, self.num_hashes, sc["m"], "minimizer",
+            sc["tile_rows"], tile_source=kmer_matrix,
+            window=sc["window"], slot_scheme=sc["slot_scheme"],
         )
 
     # -- lookups ------------------------------------------------------
@@ -257,11 +370,32 @@ class KmerSignatureIndex:
         row, ``bigsi/matrix/bitmatrix.py:67-75``).  Queries AND the side
         columns on the host; :meth:`compact` folds them in."""
         bits = bloomfilter.bitarray if hasattr(bloomfilter, "bitarray") else bloomfilter
+        bits = np.asarray(bits, dtype=bool)
+        screen_bits = None
+        if self.screen is not None:
+            total = self.bloomfilter_size + self.screen["m"]
+            if bits.shape[0] != total:
+                raise ValueError(
+                    "verified insert needs a concatenated bloom of "
+                    "m + screen-m = %d bits, got %d" % (total, bits.shape[0])
+                )
+            screen_bits = bits[self.bloomfilter_size :]
+            bits = bits[: self.bloomfilter_size]
         side_cols = self.side.num_cols if self.side is not None else 0
         if column_index == self.bitmatrix.num_cols + side_cols:
-            self.storage.append_side_column(np.asarray(bits, dtype=bool))
+            self.storage.append_side_column(bits)
+            if screen_bits is not None:
+                # retained so compaction folds the new colour into the
+                # screen too — otherwise its screen count reads 0 after
+                # compact and the verify stage never sees it
+                self.storage.append_screen_side_column(screen_bits)
             self.side = self.storage.load_side()
             return
+        if self.screen is not None:
+            raise ValueError(
+                "verified indexes support append inserts only "
+                "(column_index must equal the current colour count)"
+            )
         # non-append insert (overwrite of an interior colour): legacy
         # dense path — not a supported operation at scale
         self.bitmatrix.ensure_writable()
@@ -275,9 +409,19 @@ class KmerSignatureIndex:
         self.storage.compact_side()
         self.side = None
         self.bitmatrix = self.storage.load_matrix()
+        if self.screen is not None:
+            self.screen_matrix = self.storage.load_screen()
+            self.screen_engine = _make_engine(
+                self._engine_factory, self.screen_matrix, "minimizer",
+                self.screen["tile_rows"], self.screen["window"],
+                self.screen["slot_scheme"], self.screen["run_len"],
+            )
+            self.engine = HostEngine(self.bitmatrix)
+            return
         self.engine = _make_engine(
             self._engine_factory, self.bitmatrix, self.layout,
             self.tile_rows, self.minimizer_window, self.slot_scheme,
+            self.run_len,
         )
 
     def side_presence(self, row_idx: np.ndarray) -> np.ndarray | None:
@@ -290,5 +434,27 @@ class KmerSignatureIndex:
     def merge_indexes(self, ksi: "KmerSignatureIndex") -> None:
         self.compact()
         ksi.compact()
+        if (self.screen is None) != (ksi.screen is None):
+            raise ValueError(
+                "cannot merge a verified (screened) index with an "
+                "unscreened one"
+            )
+        if self.screen is not None and self.screen != ksi.screen:
+            raise ValueError(
+                "screen parameters differ: %r vs %r"
+                % (self.screen, ksi.screen)
+            )
         self.bitmatrix.merge(ksi.bitmatrix)
         self.storage.save_matrix(self.bitmatrix)
+        if self.screen is not None:
+            sm = self.screen_matrix
+            sm.ensure_writable()
+            sm.merge(ksi.screen_matrix)
+            # merge() widened sm but num_cols tracks the main matrix
+            self.storage.save_screen(sm)
+            self.screen_matrix = self.storage.load_screen()
+            self.screen_engine = _make_engine(
+                self._engine_factory, self.screen_matrix, "minimizer",
+                self.screen["tile_rows"], self.screen["window"],
+                self.screen["slot_scheme"], self.screen["run_len"],
+            )

@@ -421,3 +421,78 @@ def and_count_rows(matrix: np.ndarray, idx: np.ndarray) -> np.ndarray | None:
         _ptr(counts),
     )
     return counts
+
+
+def and_count_words(
+    matrix: np.ndarray, idx: np.ndarray, word_ids: np.ndarray
+) -> np.ndarray | None:
+    """Classic verify fast path: AND the candidate WORD of each k-mer's
+    h rows and count bits — int64 [nw*32].  ``matrix`` may be the
+    rows.bin memmap (C-contiguous: no copy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    matrix = np.ascontiguousarray(matrix, dtype=np.uint32)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    word_ids = np.ascontiguousarray(word_ids, dtype=np.int32)
+    K, h = idx.shape
+    nw = word_ids.shape[0]
+    counts = np.zeros(nw * 32, dtype=np.int64)
+    lib.and_count_words(
+        _ptr(matrix),
+        ctypes.c_int64(matrix.shape[1]),
+        _ptr(idx),
+        ctypes.c_int64(K),
+        ctypes.c_int(h),
+        _ptr(word_ids),
+        ctypes.c_int64(nw),
+        _ptr(counts),
+    )
+    return counts
+
+
+def and_count_words_batch(
+    matrix: np.ndarray,
+    idx: np.ndarray,
+    qstart: np.ndarray,
+    word_ids: np.ndarray,
+    wstart: np.ndarray,
+    nw_cap: int,
+    nthreads: int = 0,
+) -> np.ndarray | None:
+    """Batched classic verify (threaded over queries).
+
+    idx int64[sum_K, h] concatenated per-query rows; qstart int64[B+1];
+    word_ids int32[sum_nw] concatenated per-query candidate words;
+    wstart int64[B+1] -> counts int64[B, nw_cap*32] (query q's word j
+    counts at [q, j*32 + bit]).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    matrix = np.ascontiguousarray(matrix, dtype=np.uint32)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    qstart = np.ascontiguousarray(qstart, dtype=np.int64)
+    word_ids = np.ascontiguousarray(word_ids, dtype=np.int32)
+    wstart = np.ascontiguousarray(wstart, dtype=np.int64)
+    B = qstart.shape[0] - 1
+    if idx.size == 0 or B <= 0:
+        return np.zeros((max(B, 0), nw_cap * 32), dtype=np.int64)
+    h = idx.shape[1]
+    if nthreads <= 0:
+        nthreads = min(8, os.cpu_count() or 1)
+    out = np.zeros((B, nw_cap * 32), dtype=np.int64)
+    lib.and_count_words_batch(
+        _ptr(matrix),
+        ctypes.c_int64(matrix.shape[1]),
+        _ptr(idx),
+        _ptr(qstart),
+        ctypes.c_int64(B),
+        ctypes.c_int(h),
+        _ptr(word_ids),
+        _ptr(wstart),
+        ctypes.c_int64(nw_cap),
+        ctypes.c_int(nthreads),
+        _ptr(out),
+    )
+    return out

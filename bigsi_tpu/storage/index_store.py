@@ -33,6 +33,8 @@ logger = logging.getLogger(__name__)
 MANIFEST = "manifest.json"
 ROWS_BIN = "rows.bin"
 SIDE_BIN = "side.bin"
+SCREEN_BIN = "screen.bin"  # verified indexes: minimizer screen matrix
+SCREEN_SIDE_BIN = "screen_side.bin"  # staged inserts' screen columns
 FORMAT_VERSION = 1
 
 
@@ -120,6 +122,17 @@ class BaseIndexStore:
     def compact_side(self) -> None:
         """Fold the side shard into the main matrix (no-op if empty)."""
 
+    # -- verified indexes: the minimizer screen matrix -----------------
+
+    def save_screen(self, matrix: BitSliceMatrix) -> None:
+        raise NotImplementedError
+
+    def load_screen(self) -> BitSliceMatrix | None:
+        return None
+
+    def append_screen_side_column(self, bits) -> None:
+        raise NotImplementedError
+
 
 class MemoryStore(BaseIndexStore):
     def __init__(self, name: str = "default"):
@@ -166,6 +179,26 @@ class MemoryStore(BaseIndexStore):
             bits = np.unpackbits(packed, bitorder="little")[: matrix.num_rows]
             matrix.insert_column(bits.astype(bool), matrix.num_cols)
         state["matrix"] = matrix
+        scols = state.pop("screen_side", [])
+        screen = state.get("screen")
+        if scols and screen is not None:
+            screen.ensure_writable()
+            for packed in scols:
+                bits = np.unpackbits(packed, bitorder="little")[
+                    : screen.num_rows
+                ]
+                screen.insert_column(bits.astype(bool), screen.num_cols)
+            state["screen"] = screen
+
+    def save_screen(self, matrix: BitSliceMatrix) -> None:
+        _MEMORY_REGISTRY[self.name]["screen"] = matrix
+
+    def load_screen(self) -> BitSliceMatrix | None:
+        return _MEMORY_REGISTRY[self.name].get("screen")
+
+    def append_screen_side_column(self, bits) -> None:
+        state = _MEMORY_REGISTRY[self.name]
+        state.setdefault("screen_side", []).append(_pack_side_column(bits))
 
 
 class IndexStore(BaseIndexStore):
@@ -285,21 +318,19 @@ class IndexStore(BaseIndexStore):
         )
         return SideShard(np.asarray(data), m)
 
-    def compact_side(self, chunk_rows: int = 1 << 18) -> None:
-        """Stream side columns into a widened rows.bin, one row chunk at
-        a time — peak RAM is one chunk block, never the matrix."""
-        side = self.load_side()
-        if side is None:
-            return
-        man = self._manifest
-        m, w, n = man["num_rows"], man["num_words"], man["num_cols"]
+    @staticmethod
+    def _fold_side_into(
+        path: str, side: SideShard, m: int, w: int, n: int,
+        chunk_rows: int = 1 << 18,
+    ) -> int:
+        """Stream side columns into a widened matrix file, one row chunk
+        at a time — peak RAM is one chunk block, never the matrix.
+        Returns the new word count."""
         n_new = n + side.num_cols
         w_new = max(w, (n_new + 31) // 32)
-        src = np.memmap(
-            self._rows_path(), dtype=np.uint32, mode="r", shape=(m, w)
-        )
+        src = np.memmap(path, dtype=np.uint32, mode="r", shape=(m, w))
         chunk_rows = max(8, chunk_rows - chunk_rows % 8)  # byte-aligned
-        tmp = self._rows_path() + ".tmp"
+        tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             for r0 in range(0, m, chunk_rows):
                 r1 = min(m, r0 + chunk_rows)
@@ -312,10 +343,116 @@ class IndexStore(BaseIndexStore):
                         np.uint32
                     ) << np.uint32(col & 31)
                 block.tofile(f)
-        os.replace(tmp, self._rows_path())
+        os.replace(tmp, path)
+        return w_new
+
+    def compact_side(self, chunk_rows: int = 1 << 18) -> None:
+        side = self.load_side()
+        if side is None:
+            return
+        man = self._manifest
+        m, w, n = man["num_rows"], man["num_words"], man["num_cols"]
+        w_new = self._fold_side_into(
+            self._rows_path(), side, m, w, n, chunk_rows
+        )
         os.remove(self._side_path())
-        man.update({"num_words": w_new, "num_cols": n_new, "side_cols": 0})
+        sside = self._load_screen_side()
+        if sside is not None:
+            sw_new = self._fold_side_into(
+                self._screen_path(), sside, man["screen_rows"],
+                man["screen_words"], n, chunk_rows,
+            )
+            os.remove(self._screen_side_path())
+            man.update({"screen_words": sw_new, "screen_side_cols": 0})
+        man.update({"num_words": w_new, "num_cols": n + side.num_cols,
+                    "side_cols": 0})
         self.sync()
+
+    # -- verified indexes: screen matrix --------------------------------
+
+    def _screen_path(self) -> str:
+        return os.path.join(self.directory, SCREEN_BIN)
+
+    def _screen_side_path(self) -> str:
+        return os.path.join(self.directory, SCREEN_SIDE_BIN)
+
+    def save_screen(self, matrix: BitSliceMatrix) -> None:
+        os.makedirs(self.directory, exist_ok=True)
+        tmp = self._screen_path() + ".tmp"
+        arr = np.ascontiguousarray(matrix.words, dtype=np.uint32)
+        with open(tmp, "wb") as f:
+            arr.tofile(f)
+        os.replace(tmp, self._screen_path())
+        if self._manifest is None:
+            self._manifest = {"format_version": FORMAT_VERSION}
+        self._manifest.update(
+            {
+                "screen_rows": matrix.num_rows,
+                "screen_words": matrix.num_words,
+            }
+        )
+        self.sync()
+
+    def load_screen(self) -> BitSliceMatrix | None:
+        man = self._manifest
+        if man is None or "screen_rows" not in man:
+            return None
+        shape = (man["screen_rows"], man["screen_words"])
+        if self.mmap:
+            words = np.memmap(
+                self._screen_path(), dtype=np.uint32, mode="r", shape=shape
+            )
+        else:
+            words = np.fromfile(
+                self._screen_path(), dtype=np.uint32
+            ).reshape(shape)
+        return BitSliceMatrix(np.asarray(words), man["num_cols"])
+
+    def adopt_screen(self, num_rows: int, num_words: int) -> None:
+        """Register an externally streamed ``screen.bin`` (bulk builds)."""
+        expected = num_rows * num_words * 4
+        actual = os.path.getsize(self._screen_path())
+        if actual != expected:
+            raise ValueError(
+                "screen.bin is %d bytes, expected %d (%d x %d uint32)"
+                % (actual, expected, num_rows, num_words)
+            )
+        if self._manifest is None:
+            self._manifest = {"format_version": FORMAT_VERSION}
+        self._manifest.update(
+            {"screen_rows": num_rows, "screen_words": num_words}
+        )
+        self.sync()
+
+    def screen_path(self) -> str:
+        os.makedirs(self.directory, exist_ok=True)
+        return self._screen_path()
+
+    def append_screen_side_column(self, bits) -> None:
+        packed = _pack_side_column(bits)
+        expected = (self._manifest["screen_rows"] + 7) // 8
+        if len(packed) != expected:
+            raise ValueError(
+                "screen side column is %d bytes, expected %d"
+                % (len(packed), expected)
+            )
+        with open(self._screen_side_path(), "ab") as f:
+            f.write(packed.tobytes())
+        self._manifest["screen_side_cols"] = (
+            int(self._manifest.get("screen_side_cols", 0)) + 1
+        )
+        self.sync()
+
+    def _load_screen_side(self) -> SideShard | None:
+        c = int((self._manifest or {}).get("screen_side_cols", 0))
+        if not c:
+            return None
+        m = self._manifest["screen_rows"]
+        bpc = (m + 7) // 8
+        data = np.memmap(
+            self._screen_side_path(), dtype=np.uint8, mode="r", shape=(c, bpc)
+        )
+        return SideShard(np.asarray(data), m)
 
     def sync(self) -> None:
         if self._manifest is None:

@@ -747,6 +747,68 @@ void and_count_rows(const uint32_t* matrix, int64_t w,
   }
 }
 
+// Classic-semantics verification restricted to candidate words — the
+// verify stage of two-stage search (screen on device, verify on host
+// over the mmap'd canonical rows.bin).  For each k-mer, AND the chosen
+// word of its h classic hash rows and count set bits per sample.
+// matrix: uint32 [m, W] (typically an mmap of rows.bin); idx: int64
+// [K, h]; wids: int32 [nw] candidate word ids; out: int64 [nw*32]
+// (caller-zeroed) — counts for bit b of candidate word j at out[j*32+b].
+// Traffic: K*h*nw word loads instead of the classic path's K*h full
+// rows — the candidate restriction is what keeps verification below
+// screening cost (reference semantics: bigsi/graph/bigsi.py:211-230).
+void and_count_words(const uint32_t* matrix, int64_t W,
+                     const int64_t* idx, int64_t K, int h,
+                     const int32_t* wids, int64_t nw, int64_t* out) {
+  for (int64_t i = 0; i < K; i++) {
+    const int64_t* rows = idx + i * h;
+    for (int64_t j = 0; j < nw; j++) {
+      const int64_t col = (int64_t)wids[j];
+      uint32_t acc = matrix[rows[0] * W + col];
+      for (int t = 1; t < h; t++) acc &= matrix[rows[t] * W + col];
+      int64_t* o = out + j * 32;
+      while (acc) {
+        int b = __builtin_ctz(acc);
+        o[b]++;
+        acc &= acc - 1;
+      }
+    }
+  }
+}
+
+// Batched variant over queries (qstart spans into idx), threaded.
+// out: int64 [B, nw*32] caller-zeroed.
+void and_count_words_batch(const uint32_t* matrix, int64_t W,
+                           const int64_t* idx, const int64_t* qstart,
+                           int64_t B, int h, const int32_t* wids,
+                           const int64_t* wstart, int64_t nw_cap,
+                           int nthreads, int64_t* out) {
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > B) nthreads = B > 0 ? (int)B : 1;
+  auto run = [&](int64_t b0, int64_t b1) {
+    for (int64_t q = b0; q < b1; q++) {
+      const int64_t nw = wstart[q + 1] - wstart[q];
+      if (!nw) continue;
+      and_count_words(matrix, W, idx + qstart[q] * h,
+                      qstart[q + 1] - qstart[q], h, wids + wstart[q], nw,
+                      out + q * nw_cap * 32);
+    }
+  };
+  if (nthreads <= 1 || B <= 1) {
+    run(0, B);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t per = (B + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; t++) {
+    const int64_t b0 = (int64_t)t * per;
+    const int64_t b1 = std::min(B, b0 + per);
+    if (b0 >= b1) break;
+    threads.emplace_back(run, b0, b1);
+  }
+  for (auto& th : threads) th.join();
+}
+
 // Grouped (tile-dedup) stream prep for the minimizer query path —
 // the serving hot path's host side (bigsi_tpu/ops/lookup.py
 // build_grouped_streams; the numpy version costs ~8 ms per [256,512]
