@@ -87,11 +87,33 @@ def _arm_deadline():
 # scripts/fpr_calibration.py).  Near-miss has an m-resistant floor (run
 # concentration), so classic near-miss parity is NOT purchasable with m
 # — the minimizer layouts are threshold-screening configs by design.
+#
+# "precision_1pct" is MEASURED end-to-end result quality (not
+# extrapolation): worst-case precision of the layout's result dicts vs
+# the classic oracle for queries from genomes at 1% divergence over
+# t in {0.5, 0.7, 0.9, 1.0} (scripts/result_quality.py full run,
+# docs/RESULT_QUALITY.md).  blocked measures classic-grade (1.0);
+# raw minimizer layouts are screening configs; "verified" (two-stage
+# screen+verify) restores exact classic result dicts at screen speed.
 FPR_TRADE = {
-    "classic": {"m_premium": 1.0, "near_miss_fpr": 0.018},
-    "minimizer32": {"m_premium": 4.0, "near_miss_fpr": 0.138},
-    "minimizer16": {"m_premium": 6.0, "near_miss_fpr": 0.227},
-    "minimizer16-w19": {"m_premium": 6.0, "near_miss_fpr": 0.440},
+    "classic": {
+        "m_premium": 1.0, "near_miss_fpr": 0.018, "precision_1pct": 1.0,
+    },
+    # blocked16 measured 2026-08-20 (--tile-rows 16 --premium): near-miss
+    # == background FPR (no run concentration), full classic parity
+    # purchasable at 1.75x m — the classic-semantics middle ground.
+    "blocked16": {
+        "m_premium": 1.75, "near_miss_fpr": 0.0398, "precision_1pct": 1.0,
+    },
+    "minimizer32": {
+        "m_premium": 4.0, "near_miss_fpr": 0.138, "precision_1pct": None,
+    },
+    "minimizer16": {
+        "m_premium": 6.0, "near_miss_fpr": 0.227, "precision_1pct": 0.84,
+    },
+    "minimizer16-w19": {
+        "m_premium": 6.0, "near_miss_fpr": 0.440, "precision_1pct": 0.68,
+    },
 }
 
 

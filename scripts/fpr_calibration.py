@@ -136,17 +136,18 @@ def measure(m, n_kmers, h, k, seed=0, tile_rows=32, window=None,
 
 
 def m_premium(base_m, n_kmers, h, k, target_fpr, seed=1, tile_rows=32,
-              window=None, genome_mode="sequence", slot_scheme=1):
-    """Smallest m-scale factor at which minimizer near-miss FPR <= the
-    classic near-miss FPR at base_m."""
+              window=None, genome_mode="sequence", slot_scheme=1,
+              layout="minimizer"):
+    """Smallest m-scale factor at which ``layout``'s near-miss FPR <=
+    the classic near-miss FPR at base_m."""
     for scale in (1.0, 1.1, 1.2, 1.3, 1.5, 1.75, 2.0, 2.5, 3.0, 3.5,
                   4.0, 5.0, 6.0):
         m = int(base_m * scale)
         r = measure(m, n_kmers, h, k, seed=seed, tile_rows=tile_rows,
                     window=window, genome_mode=genome_mode,
                     slot_scheme=slot_scheme)
-        if r["minimizer"]["fpr_near_miss"] <= target_fpr:
-            return scale, r["minimizer"]["fpr_near_miss"]
+        if r[layout]["fpr_near_miss"] <= target_fpr:
+            return scale, r[layout]["fpr_near_miss"]
     return float("inf"), None
 
 
@@ -191,13 +192,19 @@ def main():
            "layouts": res}
     if args.premium:
         target = res["classic"]["fpr_near_miss"]
-        scale, fpr = m_premium(args.m, args.kmers, args.h, args.k, target,
-                               tile_rows=args.tile_rows, window=args.window,
-                               genome_mode=args.genome,
-                               slot_scheme=args.slot_scheme)
-        out["m_premium_for_classic_near_miss_fpr"] = scale
-        print("minimizer m premium for classic near-miss FPR parity: %.2fx"
-              % scale, file=sys.stderr)
+        for layout in ("minimizer", "blocked"):
+            scale, fpr = m_premium(
+                args.m, args.kmers, args.h, args.k, target,
+                tile_rows=args.tile_rows, window=args.window,
+                genome_mode=args.genome, slot_scheme=args.slot_scheme,
+                layout=layout,
+            )
+            out["m_premium_for_classic_near_miss_fpr_%s" % layout] = scale
+            print(
+                "%s m premium for classic near-miss FPR parity: %.2fx"
+                % (layout, scale),
+                file=sys.stderr,
+            )
     print(json.dumps(out))
 
 
