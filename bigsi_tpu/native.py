@@ -71,6 +71,7 @@ def _load():
             lib.grouped_streams.restype = ctypes.c_int64
             lib.prep_minimizer_v2.restype = ctypes.c_int64
             lib.prep_minimizer_v3.restype = ctypes.c_int64
+            lib.prep_minimizer_v3_seqs.restype = ctypes.c_int64
             _lib = lib
         except (OSError, AttributeError) as e:
             logger.warning(
@@ -355,6 +356,75 @@ def prep_minimizer_v3(
     u_max = lib.prep_minimizer_v3(
         _ptr(kmers),
         _ptr(qstart),
+        ctypes.c_int64(b),
+        ctypes.c_int(k),
+        ctypes.c_int(s),
+        ctypes.c_uint64(seed),
+        ctypes.c_int64(num_tiles),
+        ctypes.c_int(h),
+        ctypes.c_int(tile_rows),
+        ctypes.c_int(r),
+        ctypes.c_int64(k_cap),
+        ctypes.c_int(nthreads),
+        _ptr(utile),
+        _ptr(gmask),
+        _ptr(n_valid),
+    )
+    if u_max < 0:
+        return None
+    u = max(u_bucket, ((int(u_max) + u_bucket - 1) // u_bucket) * u_bucket)
+    u = min(u, k_cap)
+    return (
+        np.ascontiguousarray(utile[:, :u]),
+        np.ascontiguousarray(gmask[:, :u]),
+        n_valid,
+    )
+
+
+def prep_minimizer_v3_seqs(
+    seqs: np.ndarray,
+    sstart: np.ndarray,
+    k: int,
+    s: int,
+    seed: int,
+    num_tiles: int,
+    h: int,
+    tile_rows: int,
+    r: int,
+    nthreads: int = 0,
+    u_bucket: int = 16,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Fused serving prep straight from SEQUENCES (slot scheme v3).
+
+    seqs uint8[total_len] (concatenated ACGT query bytes), sstart
+    int64[B+1] -> (utile int32[B, U], gmask uint32[B, U, r], n_valid
+    int32[B]).  The k-mer windows are implied — no [n, k] row
+    materialization, no per-row overlap memcmp — and raw-kmer dedup
+    (the reference's ``set(kmers)``) runs inline, so ``n_valid`` is the
+    DISTINCT k-mer count.  ACGT-only input is the caller's contract
+    (gate with :func:`ascii_acgt_only` or equivalent; other bytes make
+    2-bit codes non-injective and dedup semantics drift from the
+    reference's raw-string set).  None without the lib / bad params.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    seqs = np.ascontiguousarray(seqs, dtype=np.uint8)
+    sstart = np.ascontiguousarray(sstart, dtype=np.int64)
+    b = len(sstart) - 1
+    if b < 0 or sstart[-1] != seqs.shape[0]:
+        return None
+    lens = np.diff(sstart)
+    k_cap = int(np.maximum(lens - k + 1, 0).max()) if b else 0
+    k_cap = max(k_cap, 1)
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    utile = np.zeros((b, k_cap), dtype=np.int32)
+    gmask = np.zeros((b, k_cap, r), dtype=np.uint32)
+    n_valid = np.zeros(b, dtype=np.int32)
+    u_max = lib.prep_minimizer_v3_seqs(
+        _ptr(seqs),
+        _ptr(sstart),
         ctypes.c_int64(b),
         ctypes.c_int(k),
         ctypes.c_int(s),

@@ -682,6 +682,154 @@ int64_t prep_minimizer_v3(const uint8_t* kmers, const int64_t* qstart,
   return u_max;
 }
 
+// Fused serving prep, slot scheme v3, straight from SEQUENCES: the
+// k-mer windows are implied, so there is no [n, k] row materialization,
+// no per-row overlap memcmp, and raw-kmer DEDUP (the reference's
+// ``set(kmers)``, bigsi/graph/bigsi.py:178 via index.py:45) happens
+// inline in the same rolling pass via a per-query open-addressed code
+// table.  ACGT-only input is the caller's contract (the Python side
+// falls back to the row path for sequences with other bytes, where
+// 2-bit codes are not injective and dedup semantics would drift).
+//
+// seqs: concatenated query bytes; sstart: [B+1] offsets.  Outputs as
+// prep_minimizer_v3 (utile [B, K_cap], gmask [B, K_cap, r] zeroed by
+// caller, n_valid [B] = DISTINCT k-mer count per query).  Returns max
+// entry count, or -1 on bad parameters.
+int64_t prep_minimizer_v3_seqs(const uint8_t* seqs, const int64_t* sstart,
+                               int64_t B, int k, int s, uint64_t seed,
+                               int64_t num_tiles, int h, int tile_rows,
+                               int r, int64_t K_cap, int nthreads,
+                               int32_t* utile, uint32_t* gmask,
+                               int32_t* n_valid) {
+  if (s < 1 || s > k || k > 32 || k - s + 1 > 64 || h < 1 || h > 10 ||
+      tile_rows < 1 || r < 1 || B < 0 || num_tiles < 1 ||
+      (uint64_t)num_tiles >= (1ull << 32) ||
+      (uint64_t)tile_rows >= (1ull << 32))
+    return -1;
+  const int w = k - s + 1;
+  const uint64_t kmask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+  const uint64_t smask_code = (1ull << (2 * s)) - 1;
+  // NOTE: plain hardware '%' here — a reciprocal-multiply FastMod was
+  // measured SLOWER on this host (scripts/microexp/prep_variants.cpp:
+  // 2.25 vs 1.83 ms/batch without dedup); the div pipelines behind the
+  // loop's other work.  tile_rows is a power of two in practice and the
+  // compiler keeps the u32 mod cheap.
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > B) nthreads = B > 0 ? (int)B : 1;
+  std::vector<int64_t> u_max_per((size_t)std::max(nthreads, 1), 0);
+
+  // dedup table size: pow2 >= 2 * K_cap (load factor <= 0.5)
+  uint64_t tsize = 16;
+  while (tsize < (uint64_t)(2 * K_cap)) tsize <<= 1;
+  const uint64_t tmask = tsize - 1;
+
+  auto run = [&](int t, int64_t b0, int64_t b1) {
+    uint64_t hw[64];
+    std::vector<uint64_t> seen((size_t)tsize);
+    int64_t u_max = 0;
+    for (int64_t q = b0; q < b1; q++) {
+      const int64_t p0 = sstart[q], p1 = sstart[q + 1];
+      const int64_t len = p1 - p0;
+      const int64_t nk = len >= k ? len - k + 1 : 0;
+      int32_t* urow = utile + q * K_cap;
+      uint32_t* grow = gmask + q * K_cap * r;
+      int64_t entry = -1;
+      int32_t cur_tile = -1;
+      int slot = r;
+      int32_t distinct = 0;
+      if (nk > 0) std::memset(seen.data(), 0, sizeof(uint64_t) * tsize);
+      uint64_t fwd = 0, rc = 0;
+      int head = 0;
+      uint64_t mn = 0;
+      int mn_slot = 0;
+      const uint8_t* sq = seqs + p0;
+      for (int64_t i = 0; i < nk; i++) {
+        if (i == 0) {
+          fwd = 0;
+          rc = 0;
+          for (int j = 0; j < k; j++) {
+            fwd = (fwd << 2) | base_code(sq[j]);
+            rc |= comp_code(sq[j]) << (2 * j);
+          }
+          mn = ~0ull;
+          for (int j = 0; j < w; j++) {
+            const uint64_t sf = (fwd >> (2 * (k - s - j))) & smask_code;
+            const uint64_t sr = (rc >> (2 * j)) & smask_code;
+            hw[j] = splitmix64(seed ^ std::min(sf, sr));
+            if (hw[j] < mn) { mn = hw[j]; mn_slot = j; }
+          }
+          head = 0;
+        } else {
+          const uint8_t b = sq[i + k - 1];
+          fwd = ((fwd << 2) | base_code(b)) & kmask;
+          rc = (rc >> 2) | (comp_code(b) << (2 * (k - 1)));
+          const uint64_t sf = fwd & smask_code;
+          const uint64_t sr = (rc >> (2 * (k - s))) & smask_code;
+          const uint64_t hv = splitmix64(seed ^ std::min(sf, sr));
+          const int expired = head;
+          hw[head] = hv;
+          head = head + 1 == w ? 0 : head + 1;
+          if (hv <= mn) {
+            mn = hv;
+            mn_slot = expired;
+          } else if (mn_slot == expired) {
+            mn = hw[0];
+            mn_slot = 0;
+            for (int j = 1; j < w; j++)
+              if (hw[j] < mn) { mn = hw[j]; mn_slot = j; }
+          }
+        }
+        // dedup on the raw-strand code (== raw k-mer bytes for ACGT):
+        // matches the reference's set() of raw query k-mer strings
+        const uint64_t key = fwd + 1;  // 0 is the empty marker
+        uint64_t probe = splitmix64(fwd) & tmask;
+        bool dup = false;
+        for (;;) {
+          const uint64_t cur = seen[(size_t)probe];
+          if (cur == 0) { seen[(size_t)probe] = key; break; }
+          if (cur == key) { dup = true; break; }
+          probe = (probe + 1) & tmask;
+        }
+        if (dup) continue;
+        distinct++;
+        const int32_t tile = (int32_t)(mn % (uint64_t)num_tiles);
+        const uint64_t hv = splitmix64(std::min(fwd, rc));
+        uint32_t sm = 0;
+        for (int j = 0; j < h; j++)
+          sm |= 1u << ((uint32_t)(hv >> (6 * j)) % (uint32_t)tile_rows);
+        if (entry < 0 || tile != cur_tile || slot == r) {
+          entry++;
+          cur_tile = tile;
+          urow[entry] = tile;
+          slot = 0;
+        }
+        grow[entry * r + slot] = sm;
+        slot++;
+      }
+      n_valid[q] = distinct;
+      u_max = std::max(u_max, entry + 1);
+    }
+    u_max_per[(size_t)t] = u_max;
+  };
+
+  if (nthreads <= 1 || B <= 1) {
+    run(0, 0, B);
+    return u_max_per[0];
+  }
+  std::vector<std::thread> threads;
+  const int64_t per = (B + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; t++) {
+    const int64_t b0 = (int64_t)t * per;
+    const int64_t b1 = std::min(B, b0 + per);
+    if (b0 >= b1) break;
+    threads.emplace_back(run, t, b0, b1);
+  }
+  for (auto& th : threads) th.join();
+  int64_t u_max = 0;
+  for (int64_t v : u_max_per) u_max = std::max(u_max, v);
+  return u_max;
+}
+
 // Standalone v3 tiles (build path / oracle cross-checks).
 void minimizer_tiles_v3(const uint8_t* kmers, int64_t K, int k, int s,
                         uint64_t seed, int64_t num_tiles, int64_t* out) {
