@@ -206,7 +206,9 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    def marginal(make):
+    def marginal(make, label=""):
+        if label:
+            print("bench: measuring %s" % label, file=sys.stderr, flush=True)
         f1, a1 = make(1)
         fn, an = make(CHAIN)
         t1 = timed(f1, a1)
@@ -323,9 +325,112 @@ def main():
 
         return f, (cols16, ut19_d, gm19_d, nv19_d)
 
-    dt_cols19 = marginal(make_cols19)  # headline candidate: measured
+    dt_cols19 = marginal(make_cols19, 'cols16-w19')  # headline candidate: measured
     # FIRST, on a fresh HBM layout, before other configs allocate
-    dt_cols16 = marginal(make_cols16)
+
+    # ---- ONE-PROGRAM serving step: raw query bytes -> counts, with the
+    # whole prep (2-bit packing, splitmix64 minimizers, distinct-kmer
+    # dedup, run grouping) ON DEVICE (ops/prep_jax.py).  This is the
+    # production serving dispatch (DeviceEngine.counts_batch_seqs): the
+    # host's only job is padding bytes, so serving is device-bound.
+    from bigsi_tpu.ops.lookup import grouped_counts_cols
+    from bigsi_tpu.ops.prep_jax import prep_streams_device
+
+    L = K + KLEN - 1
+    LB = ((L + 63) // 64) * 64
+    seq_pad = np.full((B, LB), ord("A"), dtype=np.uint8)
+    seq_pad[:, :L] = seqs
+    lens_b = np.full(B, L, dtype=np.int32)
+    seq_d = jax.device_put(seq_pad, dev)
+    lens_d = jax.device_put(lens_b, dev)
+    S19 = KLEN - W19 + 1
+    U_CAP = 96  # DeviceEngine._seq_u_cap(LB - KLEN + 1, 19)
+
+    def make_seqstep(nsteps):
+        @jax.jit
+        def f(cols, sq, lens):
+            def body(carry, _):
+                sq2 = jnp.roll(sq, carry, axis=1)  # new bytes per step
+                utile, gmask, n_valid, _ok = prep_streams_device(
+                    sq2, lens, k=KLEN, s=S19, num_tiles=T16, h=H,
+                    tile_rows=TR16, r=R19, u_cap=U_CAP,
+                )
+                counts = grouped_counts_cols(cols, utile, gmask, n_valid)
+                return (counts[0, 0] & jnp.int32(7)) + 1, ()
+
+            carry, _ = jax.lax.scan(body, jnp.int32(0), None, length=nsteps)
+            return carry.reshape(1)
+
+        return f, (cols16, seq_d, lens_d)
+
+    dt_seqstep = marginal(make_seqstep, 'seq-step (device prep)')
+
+    # ---- blocked16-cols: per-kmer tile fetch (no run grouping) — the
+    # classic-RESULT-QUALITY middle ground (docs/RESULT_QUALITY.md:
+    # precision 1.0 everywhere, near-miss FPR == background, classic
+    # parity at 1.75x m).  Formulated as grouped streams with r=1.
+    tiles_pk = rng.integers(0, T16, size=(B, K)).astype(np.int32)
+    slots_pk = rng.integers(0, TR16, size=(B, K, H)).astype(np.uint32)
+    gm_pk = np.bitwise_or.reduce(np.uint32(1) << slots_pk, axis=2)[
+        :, :, None
+    ]
+    ut_pk_d = jax.device_put(tiles_pk, dev)
+    gm_pk_d = jax.device_put(gm_pk, dev)
+    nv_pk_d = jax.device_put(np.full(B, K, dtype=np.int32), dev)
+
+    def make_blocked_cols(nsteps):
+        @jax.jit
+        def f(cols, utile, gmask, n_valid):
+            def body(carry, _):
+                u2 = (utile + carry) % T16
+                counts = grouped_counts_cols(cols, u2, gmask, n_valid)
+                return (counts[0, 0] & jnp.int32(7)) + 1, ()
+
+            carry, _ = jax.lax.scan(body, jnp.int32(0), None, length=nsteps)
+            return carry.reshape(1)
+
+        return f, (cols16, ut_pk_d, gm_pk_d, nv_pk_d)
+
+    dt_blocked_cols = marginal(make_blocked_cols, 'blocked16-cols')
+
+    # ---- sample-width scaling: cols19 at N=2048/4096 (equal m).
+    # rows/s is N-independent by definition; the per-chip SAMPLE
+    # throughput is rows/s * N, so flat rows/s across N means linear
+    # sample scaling (VERDICT r3 weak-4: unmeasured above N=1024).
+    wide_n = {}
+    for n_wide in ((2048, 4096) if on_tpu else (64,)):
+        try:
+            cols_w = jax.jit(
+                lambda key, n=n_wide: jax.random.bits(
+                    key, (T16, n), jnp.uint16
+                ),
+                device=dev,
+            )(jax.random.PRNGKey(4))
+
+            def make_wide(nsteps, cols_w=cols_w):
+                @jax.jit
+                def f(cols, utile, gmask, n_valid):
+                    def body(carry, _):
+                        u2 = (utile + carry) % T16
+                        counts = grouped_counts_cols(
+                            cols, u2, gmask, n_valid
+                        )
+                        return (counts[0, 0] & jnp.int32(7)) + 1, ()
+
+                    carry, _ = jax.lax.scan(
+                        body, jnp.int32(0), None, length=nsteps
+                    )
+                    return carry.reshape(1)
+
+                return f, (cols_w, ut19_d, gm19_d, nv19_d)
+
+            wide_n[n_wide] = marginal(make_wide, 'wide-N %d' % n_wide)
+            del cols_w
+        except Exception as e:  # noqa: BLE001 — OOM at 4096 is data
+            wide_n[n_wide] = None
+            print("wide-N %d failed: %s" % (n_wide, e), file=sys.stderr)
+
+    dt_cols16 = marginal(make_cols16, 'cols16-w11')
 
     # ---- grouped16 (row-major minimizer tiles, same real streams)
     tiles16 = jax.jit(
@@ -346,7 +451,7 @@ def main():
 
         return f, (tiles16, ut16_d, gm16_d)
 
-    dt_grouped16 = marginal(make_grouped16)
+    dt_grouped16 = marginal(make_grouped16, 'grouped16')
     del tiles16
 
     # ---- grouped32 (tile_rows=32, v1-style synthetic streams at the
@@ -378,7 +483,7 @@ def main():
 
         return f, (tiles32, ut32_d, gm32_d)
 
-    dt_grouped32 = marginal(make_grouped32)
+    dt_grouped32 = marginal(make_grouped32, 'grouped32')
     del tiles32
 
     # ---- classic layout
@@ -403,7 +508,7 @@ def main():
 
         return f, (words, ridx, mask)
 
-    dt_classic = marginal(make_classic)
+    dt_classic = marginal(make_classic, 'classic')
     del words
 
     # ---- serving host side (fused native prep; see DeviceEngine.
@@ -420,7 +525,7 @@ def main():
         # device timings' min-of-repeats; transient contention excluded)
 
     if native_ok:
-        # serving prep at the headline config (w=19, r=20)
+        # host-prep fallback path at the headline config (w=19, r=20)
         serve_host_ms = time_host(lambda: fused_prep(s=KLEN - W19 + 1, r=R19))
         serve_host_ms_1t = time_host(
             lambda: fused_prep(nthreads=1, s=KLEN - W19 + 1, r=R19)
@@ -431,55 +536,136 @@ def main():
     # m — attributes host-path regressions (classic serving prep cost)
     hash_ms = time_host(lambda: hash_kmer_matrix(kmers_flat, H, M), reps=3)
 
-    serve_dev = dt_cols19
-    serve_qps = B / max(serve_host_ms / 1e3, serve_dev) if native_ok else 0.0
+    # device-prep serving: host cost is ONLY padding bytes into [B, LB]
+    py_seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, L))
+               for _ in range(B)]
+    lut = np.zeros(256, dtype=bool)
+    lut[list(b"ACGT")] = True
+
+    def pad_batch():
+        out = np.full((B, LB), ord("A"), dtype=np.uint8)
+        okl = True
+        for i, s_ in enumerate(py_seqs):
+            e = np.frombuffer(s_.encode("ascii"), dtype=np.uint8)
+            out[i, : e.size] = e
+            okl = okl and bool(lut[e].all())
+        return out, okl
+
+    pad_ms = time_host(pad_batch)
+    serve_dev_qps = B / (dt_seqstep + pad_ms / 1e3)
+    serve_host_qps = (
+        B / max(serve_host_ms / 1e3, dt_cols19) if native_ok else 0.0
+    )
+    if serve_dev_qps >= serve_host_qps:
+        serve_qps, serve_mode = serve_dev_qps, "device-prep"
+    else:
+        serve_qps, serve_mode = serve_host_qps, "host-prep"
+
+    # verified serving (screen on device + classic verification of
+    # candidate colours on host, pipelined -> bound by the slower side).
+    # Candidate budget: 8 colours/query (~0.8% of N — generous vs the
+    # measured zero background hit rate, docs/RESULT_QUALITY.md).
+    verified_qps = 0.0
+    verify_ms = float("nan")
+    if native_ok:
+        from bigsi_tpu import native as _native
+
+        M_V = 2_500_000  # verify matrix scale (host cache-resident;
+        # verify cost is row-count-bound, not m-bound)
+        words_v = rng.integers(
+            0, 1 << 32, size=(M_V, W), dtype=np.uint32
+        )
+        cand = 8
+        idx_v = rng.integers(0, M_V, size=(B * K, H)).astype(np.int64)
+        qstart_v = np.arange(B + 1, dtype=np.int64) * K
+        wids, wstarts = [], np.zeros(B + 1, dtype=np.int64)
+        for i in range(B):
+            w_ = np.unique(
+                rng.integers(0, W, size=cand).astype(np.int32)
+            )
+            wids.append(w_)
+            wstarts[i + 1] = wstarts[i] + len(w_)
+        wids_all = np.concatenate(wids)
+        nw_cap = max(len(w_) for w_ in wids)
+
+        def verify_pass():
+            return _native.and_count_words_batch(
+                words_v, idx_v, qstart_v, wids_all, wstarts, nw_cap, 0
+            )
+
+        verify_ms = time_host(verify_pass, reps=3)
+        verified_qps = B / max(dt_seqstep + pad_ms / 1e3, verify_ms / 1e3)
 
     rows = B * K * H
     candidates = {
         "minimizer16-w19": dt_cols19,
         "minimizer16": dt_cols16,
         "minimizer32": dt_grouped32,
+        "blocked16": dt_blocked_cols,
         "classic": dt_classic,
     }
     best_layout = min(candidates, key=candidates.get)
     best = candidates[best_layout]
     trade = FPR_TRADE[best_layout]
     rows_per_s = rows / best
-    print(
-        json.dumps(
-            {
-                "metric": "bitslice_row_and_popcount_throughput",
-                "value": round(rows_per_s, 1),
-                "unit": "rows/s/chip",
-                "vs_baseline": round(rows_per_s / 1e9, 3),
-                "layout": best_layout,
-                "m_premium": trade["m_premium"],
-                "near_miss_fpr": trade["near_miss_fpr"],
-                "native_available": native_ok,
-                "serving_qps": round(serve_qps, 1),
-            }
+    # composite: rows/s at equal BACKGROUND FPR and equal HBM — divide
+    # by the measured m premium (the index is m_premium x larger per
+    # sample, so a chip's HBM holds 1/m_premium as many samples)
+    equal_fpr = rows_per_s / trade["m_premium"]
+    out = {
+        "metric": "bitslice_row_and_popcount_throughput",
+        "value": round(rows_per_s, 1),
+        "unit": "rows/s/chip",
+        "vs_baseline": round(rows_per_s / 1e9, 3),
+        "layout": best_layout,
+        "m_premium": trade["m_premium"],
+        "near_miss_fpr": trade["near_miss_fpr"],
+        "precision_1pct": trade["precision_1pct"],
+        "equal_fpr_hbm_rows_per_s": round(equal_fpr, 1),
+        "native_available": native_ok,
+        "serving_qps": round(serve_qps, 1),
+        "serving_mode": serve_mode,
+        "verified_qps": round(verified_qps, 1),
+        "blocked16_rows_per_s": round(rows / dt_blocked_cols, 1),
+    }
+    for n_wide, dt in wide_n.items():
+        out["wide_n_%d_rows_per_s" % n_wide] = (
+            round(rows / dt, 1) if dt else None
         )
-    )
+    print(json.dumps(out))
     print(
         "detail: %s m=%d N=%d B=%d K=%d h=%d slot-scheme v3, real "
         "sliding-window streams | cols16-w19 %.3f ms/step (%.1f Mrows/s, "
         "U=%d, bg m-premium 6x, near-miss FPR 0.44 - threshold-screening "
-        "config) | cols16-w11 %.3f ms/step (%.1f Mrows/s, U=%d) | "
-        "grouped16 %.3f ms/step (%.1f Mrows/s) | grouped32 %.3f ms/step "
-        "(%.1f Mrows/s) | classic %.3f ms/step (%.1f Mrows/s) | "
-        "serving(minimizer16-w19-cols): fused host prep %.2f ms/batch "
-        "(1-thread %.2f), device %.3f ms/step -> %.0f queries/s "
-        "pipelined | hash_kmer_matrix alone %.2f ms/batch | "
+        "config; verified mode restores classic results) | "
+        "seq-step (DEVICE prep+count, one program) %.3f ms/step | "
+        "blocked16-cols %.3f ms/step (%.1f Mrows/s, classic-grade "
+        "results, 1.75x m premium) | cols16-w11 %.3f ms/step "
+        "(%.1f Mrows/s, U=%d) | grouped16 %.3f ms/step (%.1f Mrows/s) | "
+        "grouped32 %.3f ms/step (%.1f Mrows/s) | classic %.3f ms/step "
+        "(%.1f Mrows/s) | wide-N %s | serving: device-prep %.0f q/s "
+        "(pad %.3f ms + step %.3f ms), host-prep %.0f q/s (fused prep "
+        "%.2f ms/batch, 1-thread %.2f) -> %s %.0f q/s | verified "
+        "serving %.0f q/s (screen+verify, verify %.2f ms/batch at 8 "
+        "cand/query) | hash_kmer_matrix alone %.2f ms/batch | "
         "native_available=%s"
         % (
             dev.platform, M, N, B, K, H,
             dt_cols19 * 1e3, rows / dt_cols19 / 1e6, ut19.shape[1],
+            dt_seqstep * 1e3,
+            dt_blocked_cols * 1e3, rows / dt_blocked_cols / 1e6,
             dt_cols16 * 1e3, rows / dt_cols16 / 1e6, U16,
             dt_grouped16 * 1e3, rows / dt_grouped16 / 1e6,
             dt_grouped32 * 1e3, rows / dt_grouped32 / 1e6,
             dt_classic * 1e3, rows / dt_classic / 1e6,
-            serve_host_ms, serve_host_ms_1t,
-            serve_dev * 1e3, serve_qps,
+            " ".join(
+                "N=%d:%s" % (n, "%.1fM" % (rows / dt / 1e6) if dt else "OOM")
+                for n, dt in wide_n.items()
+            ),
+            serve_dev_qps, pad_ms, dt_seqstep * 1e3,
+            serve_host_qps, serve_host_ms, serve_host_ms_1t,
+            serve_mode, serve_qps,
+            verified_qps, verify_ms,
             hash_ms, native_ok,
         ),
         file=sys.stderr,

@@ -252,6 +252,21 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         h = self.num_hashes
         b = len(seqs)
         engine = self.engine
+        if (
+            not score
+            and self.screen is None
+            and self.side is None
+            and self.kmer_size <= 32
+            and getattr(engine, "supports_seq_batch", lambda: False)()
+        ):
+            # hottest serving path: ship raw query BYTES; the device
+            # runs packing, minimizers, distinct-kmer dedup, grouping
+            # and counting in one program (ops/prep_jax.py).  Falls
+            # through to the host paths on non-ACGT bytes or when a
+            # query overflows the device grouped-entry budget.
+            res = self._seq_batch_device(seqs, threshold)
+            if res is not None:
+                return res
         # per-query k-mer prep, shared by both dispatch paths; the
         # (uniq, inverse) pairs feed the post-counts scoring pass
         mats, inverses, nks = [], [], []
@@ -314,6 +329,44 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         metrics.incr("search.queries", b)
         metrics.incr("search.kmers", int(mask.sum()))
         return self._batch_results(per_query, counts, threshold, score_info)
+
+    _ACGT_LUT = np.zeros(256, dtype=bool)
+    _ACGT_LUT[list(b"ACGT")] = True
+
+    def _seq_batch_device(self, seqs, threshold):
+        """All-on-device serving path: pad query bytes, one program.
+
+        Returns the result lists, or None when the batch must take the
+        host-prep path (non-ACGT bytes — where 2-bit codes are not
+        injective and distinct-kmer semantics would drift from the
+        reference's raw-string set — or device grouped-entry
+        overflow).
+        """
+        b = len(seqs)
+        enc = [np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+               if isinstance(s, str) else np.asarray(s, dtype=np.uint8)
+               for s in seqs]
+        lens = np.asarray([e.size for e in enc], dtype=np.int32)
+        lmax = max(int(lens.max()), self.kmer_size)
+        padded = np.full((b, lmax), ord("A"), dtype=np.uint8)
+        acgt = True
+        for i, e in enumerate(enc):
+            padded[i, : e.size] = e
+            acgt = acgt and bool(self._ACGT_LUT[e].all())
+        if not acgt:
+            return None
+        with phase("search.batch_counts"):
+            out = self.engine.counts_batch_seqs(
+                padded, lens, self.kmer_size, self.num_hashes,
+                self.num_samples,
+            )
+        if out is None:
+            return None  # grouped-entry overflow: host path re-runs
+        counts, n_valid = out
+        per_query = [(None, int(nv)) for nv in n_valid]
+        metrics.incr("search.queries", b)
+        metrics.incr("search.kmers", int(n_valid.sum()))
+        return self._batch_results(per_query, counts, threshold, None)
 
     # -- two-stage verified search (screened indexes) ------------------
 

@@ -80,6 +80,34 @@ def _counts_batch_cols(cols, utile, gmask, n_valid):
     return grouped_counts_cols(cols, utile, gmask, n_valid)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "s", "num_tiles", "h", "tile_rows", "r", "u_cap", "seed",
+    ),
+)
+def _counts_batch_seqs(
+    cols, seqs, lens, *, k, s, num_tiles, h, tile_rows, r, u_cap, seed
+):
+    """ONE device program: padded query bytes -> per-colour hit counts.
+
+    Fuses the whole serving prep (ops/prep_jax.py: 2-bit packing,
+    splitmix64 minimizers, distinct-kmer dedup, run grouping) with the
+    cols count kernel, so the host ships only uint8[B, L] bytes.  The
+    ``ok`` flag is False when a query exceeds the grouped-entry budget
+    (u_cap); the caller falls back to the host-prep path for the batch.
+    """
+    from bigsi_tpu.ops.lookup import grouped_counts_cols
+    from bigsi_tpu.ops.prep_jax import prep_streams_device
+
+    utile, gmask, n_valid, ok = prep_streams_device(
+        seqs, lens, k=k, s=s, num_tiles=num_tiles, h=h,
+        tile_rows=tile_rows, r=r, u_cap=u_cap, seed=seed,
+    )
+    counts = grouped_counts_cols(cols, utile, gmask, n_valid)
+    return counts, n_valid, ok
+
+
 @jax.jit
 def _cols_and(cols, tile_idx, slot_mask):
     from bigsi_tpu.ops.lookup import cols_presence
@@ -491,6 +519,87 @@ class DeviceEngine:
                     ready, num_cols
                 )
         return out
+
+    # -- on-device serving prep (minimizer cols, slot scheme v3) -------
+
+    def supports_seq_batch(self) -> bool:
+        """True when the all-on-device path is available: minimizer
+        layout, slot scheme v3, cols tiles resident, power-of-two
+        tile_rows, and a modulus the device mod routine handles."""
+        num_tiles = max(1, self.matrix.num_rows // self.tile_rows)
+        return (
+            self.layout == "minimizer"
+            and self.slot_scheme == 3
+            and self.cols is not None
+            and self.tile_rows & (self.tile_rows - 1) == 0
+            and num_tiles < (1 << 28)
+        )
+
+    @staticmethod
+    def _seq_u_cap(nk: int, window: int) -> int:
+        """Grouped-entry budget for the device prep: expected entries
+        ~= nk / ((w+1)/2) with 1.7x headroom, bucketed to 16.  Too big
+        costs gather work, too small trips the overflow fallback —
+        random-stream u_max measures ~61 at nk=512, w=19 (cap 96)."""
+        expect = nk / max(1.0, (window + 1) / 2.0)
+        cap = int(expect * 1.7) + 16
+        cap = ((cap + 15) // 16) * 16
+        return min(nk, cap)
+
+    def counts_batch_seqs(
+        self, seqs: np.ndarray, lens: np.ndarray, k: int, h: int,
+        num_cols: int,
+    ):
+        """Serving hottest path: padded ASCII query bytes straight to
+        per-query hit counts, all on device.
+
+        seqs uint8[B, L] (rows padded with any byte), lens int32[B] ->
+        (counts int64[B, num_cols], n_valid int32[B]) where n_valid is
+        the DISTINCT k-mer count per query (reference ``set(kmers)``
+        semantics) — or None when a query overflows the grouped-entry
+        budget (caller falls back to the host-prep path).  ACGT-only
+        bytes are the caller's contract (gate before calling).
+        """
+        from bigsi_tpu.hashing.scheme import (
+            MINIMIZER_SEED,
+            default_minimizer_s,
+            window_to_s,
+        )
+        from bigsi_tpu.ops.lookup import GROUP_R
+
+        b, l = seqs.shape
+        if b == 0:
+            return (
+                np.zeros((0, num_cols), dtype=np.int64),
+                np.zeros(0, dtype=np.int32),
+            )
+        s = window_to_s(k, self.minimizer_window) or default_minimizer_s(k)
+        window = k - s + 1
+        num_tiles = max(1, self.matrix.num_rows // self.tile_rows)
+        # static-shape buckets: pow2 batch, 64-byte length steps
+        bb = 8
+        while bb < b:
+            bb *= 2
+        lb = max(k, ((l + 63) // 64) * 64)
+        padded = np.zeros((bb, lb), dtype=np.uint8)
+        padded[:b, :l] = seqs
+        lens_b = np.zeros(bb, dtype=np.int32)
+        lens_b[:b] = lens
+        u_cap = self._seq_u_cap(lb - k + 1, window)
+        counts, n_valid, ok = _counts_batch_seqs(
+            self.cols,
+            jax.device_put(padded, self.device),
+            jax.device_put(lens_b, self.device),
+            k=k, s=s, num_tiles=num_tiles, h=h,
+            tile_rows=self.tile_rows, r=self.run_len or GROUP_R,
+            u_cap=u_cap, seed=MINIMIZER_SEED,
+        )
+        if not bool(ok):
+            return None
+        return (
+            np.asarray(counts)[:b, :num_cols].astype(np.int64),
+            np.asarray(n_valid)[:b],
+        )
 
     def _use_fused(self) -> bool:
         """Fused Pallas path: minimizer layout, exactly 32 words per

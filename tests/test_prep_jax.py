@@ -1,0 +1,207 @@
+"""On-device serving prep (ops/prep_jax.py) vs the native C prep and
+the numpy v3 oracle.  Runs on CPU via the conftest JAX_PLATFORMS pin —
+the device prep is pure jnp, so CPU execution covers its semantics."""
+
+import numpy as np
+import pytest
+
+from bigsi_tpu import native
+from bigsi_tpu.hashing.scheme import (
+    MINIMIZER_SEED,
+    minimizer_tiles,
+    slot_hashes_v3,
+)
+from bigsi_tpu.ops.prep_jax import (
+    prep_streams_device,
+    splitmix64_jax,
+    u64_mod_const,
+)
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _rand_seqs(rng, b, l):
+    return BASES[rng.integers(0, 4, size=(b, l))]
+
+
+def test_splitmix64_pair_matches_numpy():
+    from bigsi_tpu.hashing.scheme import splitmix64
+
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 2 ** 64, size=257, dtype=np.uint64)
+    want = splitmix64(vals)
+    import jax.numpy as jnp
+
+    hi = jnp.asarray((vals >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray(vals.astype(np.uint32))
+    got_hi, got_lo = splitmix64_jax((hi, lo))
+    got = (np.asarray(got_hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        got_lo
+    ).astype(np.uint64)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("d", [1, 3, 7, 16, 1562500, (1 << 28) - 1, 1 << 20])
+def test_u64_mod_const(d):
+    rng = np.random.default_rng(d)
+    vals = rng.integers(0, 2 ** 64, size=64, dtype=np.uint64)
+    import jax.numpy as jnp
+
+    hi = jnp.asarray((vals >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray(vals.astype(np.uint32))
+    got = np.asarray(u64_mod_const((hi, lo), d)).astype(np.uint64)
+    assert np.array_equal(got, vals % np.uint64(d))
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib required")
+@pytest.mark.parametrize(
+    "window,r", [(19, 20), (11, 12), (15, 16)]
+)
+def test_device_prep_matches_native_seq_prep(window, r):
+    """Dup-free random streams: stream tensors must be IDENTICAL."""
+    rng = np.random.default_rng(42 + window)
+    b, k, h, tr = 8, 31, 3, 16
+    kq = 96
+    l = kq + k - 1
+    s = k - window + 1
+    num_tiles = 1_562_500
+    seqs = _rand_seqs(rng, b, l)
+    lens = np.full(b, l, dtype=np.int32)
+    # one short query exercises the valid mask
+    lens[3] = k + 17
+    seqs[3, lens[3]:] = ord("A")  # padding bytes (any value works)
+
+    flat = np.concatenate([seqs[i, : lens[i]] for i in range(b)])
+    sstart = np.zeros(b + 1, dtype=np.int64)
+    np.cumsum([int(x) for x in lens], out=sstart[1:])
+    want = native.prep_minimizer_v3_seqs(
+        flat, sstart, k, s, MINIMIZER_SEED, num_tiles, h, tr, r
+    )
+    assert want is not None
+    wu, wg, wn = want
+
+    utile, gmask, n_valid, ok = prep_streams_device(
+        seqs, lens, k=k, s=s, num_tiles=num_tiles, h=h, tile_rows=tr,
+        r=r, u_cap=kq, seed=MINIMIZER_SEED,
+    )
+    utile, gmask, n_valid = map(np.asarray, (utile, gmask, n_valid))
+    assert bool(ok)
+    assert np.array_equal(n_valid, wn)
+    u = wu.shape[1]
+    assert np.array_equal(utile[:, :u], wu)
+    assert np.array_equal(gmask[:, :u], wg)
+    assert (utile[:, u:] == 0).all() and (gmask[:, u:] == 0).all()
+
+
+def test_device_prep_matches_numpy_oracle_tiles_slots():
+    """Cross-check tiles/slot masks against the scheme.py v3 oracle
+    (independent of the native lib)."""
+    rng = np.random.default_rng(7)
+    b, k, h, tr = 4, 31, 3, 16
+    kq = 40
+    l = kq + k - 1
+    window = 19
+    s = k - window + 1
+    num_tiles = 4096 + 3  # non-power-of-two modulus
+    seqs = _rand_seqs(rng, b, l)
+    lens = np.full(b, l, dtype=np.int32)
+
+    utile, gmask, n_valid, ok = prep_streams_device(
+        seqs, lens, k=k, s=s, num_tiles=num_tiles, h=h, tile_rows=tr,
+        r=window + 1, u_cap=kq, seed=MINIMIZER_SEED,
+    )
+    assert bool(ok)
+    # oracle per query: tiles of sliding k-mers + slot masks
+    for q in range(b):
+        km = np.lib.stride_tricks.sliding_window_view(seqs[q], k)
+        km = np.ascontiguousarray(km)
+        tiles = minimizer_tiles(km, num_tiles, s, scheme=3)
+        slots = slot_hashes_v3(km, h, tr)
+        smask = np.bitwise_or.reduce(
+            np.uint32(1) << slots.astype(np.uint32), axis=1
+        )
+        # replay the grouping (no dups in random data at this size)
+        assert len(set(map(bytes, km))) == km.shape[0]
+        r = window + 1
+        exp_ut, exp_gm = [], []
+        cur, slot = None, r
+        for i in range(km.shape[0]):
+            t = int(tiles[i])
+            if cur != t or slot == r:
+                exp_ut.append(t)
+                exp_gm.append([0] * r)
+                cur, slot = t, 0
+            exp_gm[-1][slot] = int(smask[i])
+            slot += 1
+        got_u = np.asarray(utile)[q, : len(exp_ut)]
+        got_g = np.asarray(gmask)[q, : len(exp_ut)]
+        assert got_u.tolist() == exp_ut
+        assert got_g.tolist() == exp_gm
+        assert int(np.asarray(n_valid)[q]) == km.shape[0]
+
+
+def test_device_prep_dedup_counts_match_kernel():
+    """With duplicate k-mers the device prep keeps dup slots (zeroed
+    mask) while the native prep skips them — stream layouts differ but
+    kernel COUNTS must agree, and n_valid must count distinct."""
+    import jax
+
+    from bigsi_tpu.ops.lookup import grouped_counts_cols
+
+    rng = np.random.default_rng(3)
+    b, k, h, tr = 2, 31, 3, 16
+    kq = 64
+    l = kq + k - 1
+    window, r = 19, 20
+    s = k - window + 1
+    num_tiles = 2048
+    seqs = _rand_seqs(rng, b, l)
+    # plant a duplicate k-mer inside query 0
+    seqs[0, 40 : 40 + k] = seqs[0, 0:k]
+    lens = np.full(b, l, dtype=np.int32)
+
+    utile, gmask, n_valid, ok = prep_streams_device(
+        seqs, lens, k=k, s=s, num_tiles=num_tiles, h=h, tile_rows=tr,
+        r=r, u_cap=kq, seed=MINIMIZER_SEED,
+    )
+    assert bool(ok)
+    n_valid = np.asarray(n_valid)
+    assert n_valid[0] < kq  # dup removed from the distinct count
+
+    n = 128
+    cols = jax.numpy.asarray(
+        rng.integers(0, 1 << 16, size=(num_tiles, n), dtype=np.uint16)
+    )
+    got = np.asarray(
+        grouped_counts_cols(
+            cols, jax.numpy.asarray(np.asarray(utile)),
+            jax.numpy.asarray(np.asarray(gmask)),
+            jax.numpy.asarray(n_valid),
+        )
+    )
+    if native.available():
+        flat = np.concatenate([seqs[i] for i in range(b)])
+        sstart = np.arange(b + 1, dtype=np.int64) * l
+        wu, wg, wn = native.prep_minimizer_v3_seqs(
+            flat, sstart, k, s, MINIMIZER_SEED, num_tiles, h, tr, r
+        )
+        assert np.array_equal(wn, n_valid)
+        want = np.asarray(
+            grouped_counts_cols(
+                cols, jax.numpy.asarray(wu), jax.numpy.asarray(wg),
+                jax.numpy.asarray(wn),
+            )
+        )
+        assert np.array_equal(got, want)
+
+
+def test_device_prep_overflow_flag():
+    """u_cap smaller than the entry count must flip ok to False."""
+    rng = np.random.default_rng(9)
+    seqs = _rand_seqs(rng, 2, 80 + 30)
+    lens = np.full(2, 110, dtype=np.int32)
+    _, _, _, ok = prep_streams_device(
+        seqs, lens, k=31, s=21, num_tiles=1 << 20, h=3, tile_rows=16,
+        r=4, u_cap=2, seed=MINIMIZER_SEED,
+    )
+    assert not bool(ok)

@@ -1,0 +1,114 @@
+"""The all-on-device serving path (search_batch -> counts_batch_seqs):
+must actually engage on minimizer/v3 cols indexes, return results
+identical to the host-prep path, and fall back cleanly on non-ACGT
+bytes and grouped-entry overflow."""
+
+import numpy as np
+import pytest
+
+from bigsi_tpu import native
+from bigsi_tpu.graph.bigsi import BIGSI
+from bigsi_tpu.kmers import seq_to_kmers
+
+BASES = "ACGT"
+
+
+def _mk_index(tmp_path, window=19, n=6, glen=600, k=31):
+    rng = np.random.default_rng(5)
+    genomes = [
+        "".join(BASES[i] for i in rng.integers(0, 4, glen)) for _ in range(n)
+    ]
+    cfg = {
+        "storage-engine": "bigsi-tpu",
+        "storage-config": {"filename": str(tmp_path / "idx")},
+        "k": k, "m": 1 << 18, "h": 3, "engine": "tpu",
+        "layout": "minimizer", "tile-rows": 16, "minimizer-window": window,
+    }
+    blooms = [BIGSI.bloom(cfg, seq_to_kmers(g, k)) for g in genomes]
+    idx = BIGSI.build(cfg, blooms, ["s%d" % i for i in range(n)])
+    return idx, genomes, rng
+
+
+def test_seq_path_engages_and_matches_host_path(tmp_path, monkeypatch):
+    idx, genomes, rng = _mk_index(tmp_path)
+    assert idx.engine.supports_seq_batch()
+    queries = [g[37 : 37 + 200] for g in genomes] + [
+        "".join(BASES[i] for i in rng.integers(0, 4, 200)) for _ in range(3)
+    ]
+    calls = {"n": 0}
+    orig = idx.engine.counts_batch_seqs
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(idx.engine, "counts_batch_seqs", spy)
+    got = idx.search_batch(queries, threshold=0.7)
+    assert calls["n"] == 1, "device seq path did not engage"
+
+    # host-prep oracle: disable the seq path wholesale
+    monkeypatch.setattr(
+        idx.engine, "supports_seq_batch", lambda: False, raising=False
+    )
+    want = idx.search_batch(queries, threshold=0.7)
+    assert got == want
+
+
+def test_seq_path_duplicate_kmers_distinct_semantics(tmp_path, monkeypatch):
+    """A query containing a repeated k-mer must report num_kmers =
+    DISTINCT count (the reference's set(kmers)) on both paths."""
+    idx, genomes, _ = _mk_index(tmp_path)
+    dup_query = genomes[0][:100] + genomes[0][:100]  # every kmer twice-ish
+    got = idx.search_batch([dup_query, genomes[1][:120]], threshold=0.5)
+    monkeypatch.setattr(
+        idx.engine, "supports_seq_batch", lambda: False, raising=False
+    )
+    want = idx.search_batch([dup_query, genomes[1][:120]], threshold=0.5)
+    assert got == want
+    assert got[0], "self-query must hit"
+    # distinct kmers of the doubled query < naive window count
+    naive = len(dup_query) - 31 + 1
+    assert got[0][0]["num_kmers"] < naive
+
+
+def test_seq_path_falls_back_on_non_acgt(tmp_path, monkeypatch):
+    idx, genomes, _ = _mk_index(tmp_path)
+    qs = [genomes[0][:150], genomes[1][:80] + "N" + genomes[1][81:150]]
+    calls = {"n": 0}
+    orig = idx.engine.counts_batch_seqs
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(idx.engine, "counts_batch_seqs", spy)
+    got = idx.search_batch(qs, threshold=0.7)
+    assert calls["n"] == 0, "non-ACGT batch must use the host path"
+    monkeypatch.setattr(
+        idx.engine, "supports_seq_batch", lambda: False, raising=False
+    )
+    assert got == idx.search_batch(qs, threshold=0.7)
+
+
+def test_seq_path_overflow_falls_back(tmp_path, monkeypatch):
+    """Force a tiny grouped-entry budget: the device program reports
+    overflow and search_batch silently re-runs on the host path."""
+    idx, genomes, _ = _mk_index(tmp_path)
+    monkeypatch.setattr(
+        type(idx.engine), "_seq_u_cap", staticmethod(lambda nk, w: 2)
+    )
+    qs = [g[: 200] for g in genomes[:3]]
+    got = idx.search_batch(qs, threshold=0.7)
+    monkeypatch.setattr(
+        idx.engine, "supports_seq_batch", lambda: False, raising=False
+    )
+    assert got == idx.search_batch(qs, threshold=0.7)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib required")
+def test_seq_path_short_and_empty_queries(tmp_path):
+    idx, genomes, _ = _mk_index(tmp_path)
+    qs = [genomes[0][:150], "ACGT", genomes[2][:35]]
+    got = idx.search_batch(qs, threshold=1.0)
+    assert got[1] == []  # shorter than k
+    assert got[0] and got[0][0]["sample_name"] == "s0"
