@@ -343,18 +343,29 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         overflow).
         """
         b = len(seqs)
-        enc = [np.frombuffer(s.encode("ascii"), dtype=np.uint8)
-               if isinstance(s, str) else np.asarray(s, dtype=np.uint8)
-               for s in seqs]
-        lens = np.asarray([e.size for e in enc], dtype=np.int32)
+        try:
+            flat = np.frombuffer(
+                "".join(seqs).encode("ascii"), dtype=np.uint8
+            )
+        except (TypeError, UnicodeEncodeError):
+            return None  # bytes-like/odd input: host path handles it
+        if not self._ACGT_LUT[flat].all():
+            return None
+        # vectorized padding (a per-string Python loop measured 1.3 ms
+        # per 256-query batch — comparable to the device step itself)
+        lens = np.asarray([len(s) for s in seqs], dtype=np.int32)
         lmax = max(int(lens.max()), self.kmer_size)
         padded = np.full((b, lmax), ord("A"), dtype=np.uint8)
-        acgt = True
-        for i, e in enumerate(enc):
-            padded[i, : e.size] = e
-            acgt = acgt and bool(self._ACGT_LUT[e].all())
-        if not acgt:
-            return None
+        if (lens == lens[0]).all():
+            padded[:, : lens[0]] = flat.reshape(b, lens[0])
+        else:
+            rows = np.repeat(np.arange(b), lens)
+            starts = np.zeros(b, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            cols = np.arange(flat.size, dtype=np.int64) - np.repeat(
+                starts, lens
+            )
+            padded[rows, cols] = flat
         with phase("search.batch_counts"):
             out = self.engine.counts_batch_seqs(
                 padded, lens, self.kmer_size, self.num_hashes,

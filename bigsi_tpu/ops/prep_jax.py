@@ -357,8 +357,14 @@ def prep_streams_device(
     key = jnp.where(valid, entry * r + slot, jnp.int32(-1))  # [B, NK]
     x_iota = jnp.arange(u_cap * r, dtype=jnp.int32)
     onehot = key[:, None, :] == x_iota[None, :, None]  # [B, U*r, NK]
+    # each key occurs at most once, so the sum is a selection — run it
+    # at the narrowest width that holds a slot mask (uint16 halves the
+    # VPU bytes of the dominant [B, U*r, NK] pass when tile_rows <= 16)
+    acc = jnp.uint16 if tile_rows <= 16 else U32
     gmask = (
-        (onehot * sm[:, None, :]).sum(axis=2).astype(U32)
+        (onehot * sm.astype(acc)[:, None, :])
+        .sum(axis=2, dtype=acc)
+        .astype(U32)
     ).reshape(b, u_cap, r)
     return utile, gmask, n_valid, ok
 
