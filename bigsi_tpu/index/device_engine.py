@@ -581,6 +581,10 @@ class DeviceEngine:
         while bb < b:
             bb *= 2
         lb = max(k, ((l + 63) // 64) * 64)
+        if lb - k + 1 > 1024:
+            # the device dup pass is O(NK^2) per query — long queries
+            # (genome-scale bulk_search inputs) take the host-prep path
+            return None
         padded = np.zeros((bb, lb), dtype=np.uint8)
         padded[:b, :l] = seqs
         lens_b = np.zeros(bb, dtype=np.int32)

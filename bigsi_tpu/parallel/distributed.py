@@ -240,10 +240,16 @@ class DistributedQueryService:
         self.tile_rows = tile_rows
         self.run_len = run_len
         self.row_shards = row_shards
+        if words is None:
+            raise ValueError(
+                "DistributedQueryService needs the matrix source on "
+                "EVERY process (typically the rows.bin mmap — "
+                "distribute_words copies out only this process's "
+                "column shard); workers cannot pass None"
+            )
         self._words_src = words  # matrix source (mmap ok; row slabs)
         self.words, self._local_words = distribute_words(
-            np.asarray(words) if words is not None else None,
-            mesh, m=m, w=words.shape[1],
+            np.asarray(words), mesh, m=m, w=words.shape[1],
         )
         self._steps = {}
         self._presence_steps = {}

@@ -59,8 +59,10 @@ mesh = D.make_global_mesh()
 n_total = n_per_proc * num_processes
 w = (n_total + 31) // 32
 rng = np.random.default_rng(0)
-words = rng.integers(0, 1 << 32, size=(m, w), dtype=np.uint32) \
-    if process_id == 0 else None
+# every process passes the matrix source (deterministic here; in
+# production it is the shared rows.bin mmap) — distribute_words copies
+# out only this process's column shard
+words = rng.integers(0, 1 << 32, size=(m, w), dtype=np.uint32)
 svc = D.DistributedQueryService(words, mesh, m=m, num_samples=n_total,
                                 bucket=(b, k))
 if process_id != 0:
