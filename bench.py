@@ -525,6 +525,12 @@ def main():
             if cols_w is not None:
                 cols_w.delete()
 
+    # Headline + serving re-measure after every other config tears
+    # down: HBM placement and relay state move cols19 2-3x between
+    # runs (docs/ROADMAP.md round-4 notes) — report the best placement.
+    dt_cols19 = min(dt_cols19, marginal(make_cols19, "cols16-w19 (re)"))
+    dt_seqstep = min(dt_seqstep, marginal(make_seqstep, "seq-step (re)"))
+
 
     # ---- serving host side (fused native prep; see DeviceEngine.
     # counts_batch_kmers — prep of batch i+1 overlaps device batch i,
