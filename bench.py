@@ -350,8 +350,10 @@ def main():
     lens_b = np.full(B, L, dtype=np.int32)
     seq_d = jax.device_put(seq_pad, dev)
     lens_d = jax.device_put(lens_b, dev)
+    from bigsi_tpu.index.device_engine import DeviceEngine
+
     S19 = KLEN - W19 + 1
-    U_CAP = 96  # DeviceEngine._seq_u_cap(LB - KLEN + 1, 19)
+    U_CAP = DeviceEngine._seq_u_cap(LB - KLEN + 1, W19)
 
     def make_seqstep(nsteps):
         @jax.jit

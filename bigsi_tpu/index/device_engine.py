@@ -538,12 +538,16 @@ class DeviceEngine:
     @staticmethod
     def _seq_u_cap(nk: int, window: int) -> int:
         """Grouped-entry budget for the device prep: expected entries
-        ~= nk / ((w+1)/2) with 1.7x headroom, bucketed to 16.  Too big
-        costs gather work, too small trips the overflow fallback —
-        random-stream u_max measures ~61 at nk=512, w=19 (cap 96)."""
+        ~= nk / ((w+1)/2) with ~1.4x headroom, bucketed to 16.  The
+        fused step's gather AND compare work scale with the budget
+        (u_cap=96 vs the host path's measured U=64 explains most of the
+        fused-vs-parts gap in scripts/probe_seqstep.py), so keep it
+        tight: random-stream u_max measures ~61 at nk=512, w=19 (cap
+        80).  Overflow is safe — the ok flag sends the batch to the
+        host-prep path."""
         expect = nk / max(1.0, (window + 1) / 2.0)
-        cap = int(expect * 1.7) + 16
-        cap = ((cap + 15) // 16) * 16
+        cap = int(expect * 1.4) + 8
+        cap = ((cap + 7) // 8) * 8
         return min(nk, cap)
 
     def counts_batch_seqs(
