@@ -261,6 +261,58 @@ def make_sharded_cols_step(mesh: Mesh):
     return jax.jit(step)
 
 
+def make_sharded_seq_step(
+    mesh: Mesh, *, k: int, s: int, num_tiles: int, h: int,
+    tile_rows: int, r: int, u_cap: int, seed: int = 0x5EED5EED,
+):
+    """Multi-chip ONE-program serving: raw query bytes -> counts.
+
+    The round-4 serving design on a mesh: the on-device prep
+    (ops/prep_jax.py — packing, splitmix64 minimizers, distinct-kmer
+    dedup, run grouping) runs once per batch shard (replicated across
+    the sample axis: it is O(B*K) VPU work, ~free next to the count
+    kernel), each device counts against its own sample columns, and the
+    per-shard counts concatenate with all_gather over ``s``.  Hosts
+    ship ONLY padded bytes — the multi-chip story needs no host prep
+    and no cross-host stream distribution.
+
+    step(cols, seqs, lens) with cols uintX[T, N] sharded P(None, s),
+    seqs uint8[B, L] / lens int32[B] sharded P(d, ...) ->
+    (counts int32[B, N] P(d, None), n_valid int32[B] P(d),
+    ok bool[n_d] — all() it on the host; False = entry-budget
+    overflow, re-run the batch on a host path).
+    """
+    if mesh.shape[AXIS_KMERS] != 1:
+        raise ValueError("seq step requires a (d, 1, s) mesh")
+
+    from bigsi_tpu.ops.lookup import grouped_counts_cols
+    from bigsi_tpu.ops.prep_jax import prep_streams_device
+
+    def local_step(cols_l, seqs_l, lens_l):
+        utile, gmask, n_valid, ok = prep_streams_device(
+            seqs_l, lens_l, k=k, s=s, num_tiles=num_tiles, h=h,
+            tile_rows=tile_rows, r=r, u_cap=u_cap, seed=seed,
+        )
+        counts_l = grouped_counts_cols(cols_l, utile, gmask, n_valid)
+        gathered = jax.lax.all_gather(
+            counts_l, AXIS_SAMPLES, axis=1, tiled=True
+        )
+        return gathered, n_valid, ok.reshape(1)
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(None, AXIS_SAMPLES),
+            P(AXIS_BATCH, None),
+            P(AXIS_BATCH),
+        ),
+        out_specs=(P(AXIS_BATCH, None), P(AXIS_BATCH), P(AXIS_BATCH)),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 AXIS_ROWS = "r"
 
 

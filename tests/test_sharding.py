@@ -307,3 +307,48 @@ def test_row_shards_rejects_classic():
     matrix = BitSliceMatrix(words, num_cols=8)
     with pytest.raises(ValueError):
         MeshEngine(matrix, mesh=make_mesh(8, (1, 1, 2)), row_shards=2)
+
+
+def test_sharded_seq_step_matches_single_device():
+    """The multi-chip bytes-to-counts step (on-device prep + sample-
+    sharded cols count) == single-device prep + count, and ok reports
+    entry-budget overflow."""
+    import jax.numpy as jnp
+
+    from bigsi_tpu.hashing.scheme import MINIMIZER_SEED
+    from bigsi_tpu.ops.lookup import grouped_counts_cols
+    from bigsi_tpu.ops.prep_jax import prep_streams_device
+    from bigsi_tpu.parallel.sharding import make_sharded_seq_step, shard_cols
+
+    rng = np.random.default_rng(23)
+    k, h, tr, window = 31, 3, 16, 19
+    s = k - window + 1
+    T, N, B = 512, 128, 4
+    L = 96 + k - 1
+    seqs = np.frombuffer(b"ACGT", dtype=np.uint8)[
+        rng.integers(0, 4, size=(B, L))
+    ]
+    lens = np.full(B, L, dtype=np.int32)
+    lens[1] = k + 9
+    cols = rng.integers(0, 1 << 16, size=(T, N), dtype=np.uint16)
+
+    kw = dict(
+        k=k, s=s, num_tiles=T, h=h, tile_rows=tr, r=window + 1,
+        u_cap=96, seed=MINIMIZER_SEED,
+    )
+    mesh = make_mesh(8, (2, 1, 4))
+    step = make_sharded_seq_step(mesh, **kw)
+    cols_sh = shard_cols(cols, mesh)
+    counts, n_valid, ok = step(cols_sh, seqs, lens)
+    assert np.asarray(ok).all()
+
+    utile, gmask, nv1, ok1 = prep_streams_device(seqs, lens, **kw)
+    want = np.asarray(
+        grouped_counts_cols(jnp.asarray(cols), utile, gmask, nv1)
+    )
+    assert np.array_equal(np.asarray(counts)[:, :N], want)
+    assert np.array_equal(np.asarray(n_valid), np.asarray(nv1))
+
+    tiny = make_sharded_seq_step(mesh, **{**kw, "u_cap": 2})
+    _, _, ok2 = tiny(cols_sh, seqs, lens)
+    assert not np.asarray(ok2).all()
