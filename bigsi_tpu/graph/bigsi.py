@@ -712,10 +712,12 @@ def _resolve_engine_factory(config, engine_factory):
             row_shards = axes[3] if len(axes) > 3 else 1
             return (
                 lambda matrix, layout="classic", tile_rows=32,
-                minimizer_window=None, run_len=None: DistributedEngine(
+                minimizer_window=None, run_len=None, slot_scheme=1:
+                DistributedEngine(
                     matrix, axis_sizes=axes[:3], layout=layout,
                     tile_rows=tile_rows, minimizer_window=minimizer_window,
                     row_shards=row_shards, run_len=run_len,
+                    slot_scheme=slot_scheme,
                 )
             )
         return DistributedEngine

@@ -52,6 +52,7 @@ OP_QUERY = 1
 OP_STOP = 0
 OP_PRESENCE = 2
 OP_GROUPED = 3
+OP_SEQS = 4  # raw query bytes; prep runs ON DEVICE (ops/prep_jax.py)
 
 
 def initialize(
@@ -230,7 +231,8 @@ class DistributedQueryService:
     def __init__(self, words, mesh, *, m: int, num_samples: int,
                  bucket=(8, 64), h: int | None = None, layout="classic",
                  tile_rows: int = 32, run_len: int | None = None,
-                 row_shards: int = 1):
+                 row_shards: int = 1, minimizer_window: int | None = None,
+                 slot_scheme: int = 1):
         self.mesh = mesh
         self.m = m
         self.h = h  # optional hint; steps are cached per h regardless
@@ -240,6 +242,10 @@ class DistributedQueryService:
         self.tile_rows = tile_rows
         self.run_len = run_len
         self.row_shards = row_shards
+        self.minimizer_window = minimizer_window
+        self.slot_scheme = slot_scheme
+        self._seqs = None  # lazy (cols3, gmesh, db); steps in _seq_steps
+        self._seq_steps = {}
         if words is None:
             raise ValueError(
                 "DistributedQueryService needs the matrix source on "
@@ -413,6 +419,126 @@ class DistributedQueryService:
             counts = self._run_grouped(pu, pg)
         return counts[:b]
 
+    # -- bytes-to-counts (on-device prep) path ----------------------------
+
+    def supports_seq_batch(self) -> bool:
+        """The OP_SEQS path: minimizer/v3 cols layout, single row
+        shard, power-of-two tile height, device-mod-able tile count."""
+        from bigsi_tpu.ops.lookup import cols_dtype
+
+        num_tiles = max(1, self.m // self.tile_rows)
+        return (
+            self.layout == "minimizer"
+            and self.slot_scheme == 3
+            and self.row_shards == 1
+            and self.tile_rows & (self.tile_rows - 1) == 0
+            and cols_dtype(self.tile_rows) is not None
+            and num_tiles < (1 << 28)
+        )
+
+    def _seqs_setup(self):
+        """Lazy sample-sharded cols layout for the seq step: each
+        process packs ONLY its local column shard (pack_tile_cols_host
+        of the words it already holds — the dense cols matrix is never
+        assembled on any host)."""
+        if self._seqs is not None:
+            return self._seqs
+        from bigsi_tpu.ops.lookup import pack_tile_cols_host
+
+        d, k, s = (
+            self.mesh.shape[AXIS_BATCH],
+            self.mesh.shape[AXIS_KMERS],
+            self.mesh.shape[AXIS_SAMPLES],
+        )
+        gmesh = make_global_mesh((d * k, 1, s))
+        local_cols = pack_tile_cols_host(self._local_words, self.tile_rows)
+        t = local_cols.shape[0]
+        n_pad = self.words.shape[1] * 32
+        sharding = NamedSharding(gmesh, P(None, AXIS_SAMPLES))
+        cols3 = jax.make_array_from_process_local_data(
+            sharding, local_cols, global_shape=(t, n_pad)
+        )
+        self._seqs = (cols3, gmesh, gmesh.shape[AXIS_BATCH])
+        return self._seqs
+
+    def _seq_step(self, k: int, h: int, lb: int):
+        key = (k, h, lb)
+        if key not in self._seq_steps:
+            from bigsi_tpu.hashing.scheme import (
+                MINIMIZER_SEED,
+                default_minimizer_s,
+                window_to_s,
+            )
+            from bigsi_tpu.index.device_engine import DeviceEngine
+            from bigsi_tpu.ops.lookup import GROUP_R
+            from bigsi_tpu.parallel.sharding import make_sharded_seq_step
+
+            _, gmesh, _ = self._seqs_setup()
+            s_mer = (
+                window_to_s(k, self.minimizer_window)
+                or default_minimizer_s(k)
+            )
+            window = k - s_mer + 1
+            self._seq_steps[key] = make_sharded_seq_step(
+                gmesh,
+                k=k, s=s_mer, num_tiles=max(1, self.m // self.tile_rows),
+                h=h, tile_rows=self.tile_rows,
+                r=self.run_len or GROUP_R,
+                u_cap=DeviceEngine._seq_u_cap(lb - k + 1, window),
+                seed=MINIMIZER_SEED,
+            )
+        return self._seq_steps[key]
+
+    def _run_seqs(self, seqs: np.ndarray, lens: np.ndarray, k: int, h: int):
+        from jax.experimental import multihost_utils
+
+        cols3, gmesh, db = self._seqs_setup()
+        step = self._seq_step(k, h, seqs.shape[1])
+        sh_q = NamedSharding(gmesh, P(AXIS_BATCH, None))
+        sh_l = NamedSharding(gmesh, P(AXIS_BATCH))
+        q_g = jax.make_array_from_process_local_data(
+            sh_q, _slice_for_process(seqs, gmesh, (AXIS_BATCH,))
+        )
+        l_g = jax.make_array_from_process_local_data(
+            sh_l, _slice_for_process(lens, gmesh, (AXIS_BATCH,))
+        )
+        counts, n_valid, ok = step(cols3, q_g, l_g)
+        counts = multihost_utils.process_allgather(counts, tiled=True)
+        n_valid = multihost_utils.process_allgather(n_valid, tiled=True)
+        ok = multihost_utils.process_allgather(ok, tiled=True)
+        return np.asarray(counts), np.asarray(n_valid), bool(
+            np.asarray(ok).all()
+        )
+
+    def query_seqs(self, seqs: np.ndarray, lens: np.ndarray, k: int, h: int):
+        """Host-0 dispatch: padded query BYTES uint8[B, L] + lens ->
+        (counts int64[B, N_pad], n_valid int32[B]) or None on device
+        entry-budget overflow (caller re-runs via a host-prep path —
+        workers stay in lockstep either way).  The broadcast payload is
+        B*L bytes (~60 KB at the serving config) instead of the grouped
+        streams' ~7 MB."""
+        from jax.experimental import multihost_utils
+
+        b, l = seqs.shape
+        _, _, db = self._seqs_setup()
+        bb = max(self.bucket[0], db)
+        while bb < b:
+            bb *= 2
+        bb = -(-bb // db) * db
+        pq = np.full((bb, l), ord("A"), dtype=np.uint8)
+        pq[:b] = seqs
+        pl = np.zeros(bb, dtype=np.int32)
+        pl[:b] = lens
+        with self._lock:
+            hdr = np.array([OP_SEQS, bb, l, (k << 8) | h], np.int32)
+            multihost_utils.broadcast_one_to_all(hdr)
+            pq = np.asarray(multihost_utils.broadcast_one_to_all(pq))
+            pl = np.asarray(multihost_utils.broadcast_one_to_all(pl))
+            counts, n_valid, ok = self._run_seqs(pq, pl, k, h)
+        if not ok:
+            return None
+        return counts[:b].astype(np.int64), n_valid[:b]
+
     # -- shape bucketing -------------------------------------------------
 
     def _pad(self, idx: np.ndarray, mask: np.ndarray):
@@ -527,6 +653,21 @@ class DistributedQueryService:
                 )
                 self._run_grouped(pu, pg)
                 continue
+            if hdr[0] == OP_SEQS:
+                # bb, kb=L, h packs (k << 8) | h
+                kk, hh = int(hdr[3]) >> 8, int(hdr[3]) & 0xFF
+                pq = np.asarray(
+                    multihost_utils.broadcast_one_to_all(
+                        np.zeros((bb, kb), np.uint8)
+                    )
+                )
+                pl = np.asarray(
+                    multihost_utils.broadcast_one_to_all(
+                        np.zeros(bb, np.int32)
+                    )
+                )
+                self._run_seqs(pq, pl, kk, hh)
+                continue
             if hdr[0] == OP_PRESENCE:
                 pidx = np.asarray(
                     multihost_utils.broadcast_one_to_all(
@@ -591,7 +732,7 @@ class DistributedEngine:
     def __init__(self, matrix, axis_sizes=None, bucket=(8, 64),
                  layout="classic", tile_rows: int = 32,
                  minimizer_window: int | None = None, row_shards: int = 1,
-                 run_len: int | None = None):
+                 run_len: int | None = None, slot_scheme: int = 1):
         words = np.asarray(matrix.words)  # mmap passes through un-copied
         self.num_cols = matrix.num_cols
         self.layout = layout
@@ -605,7 +746,8 @@ class DistributedEngine:
             words, mesh, m=words.shape[0], num_samples=matrix.num_cols,
             bucket=bucket, layout=layout, tile_rows=tile_rows,
             run_len=run_len,
-            row_shards=row_shards,
+            row_shards=row_shards, minimizer_window=minimizer_window,
+            slot_scheme=slot_scheme,
         )
 
     # -- serving lifecycle -------------------------------------------------
@@ -645,6 +787,31 @@ class DistributedEngine:
             return counts[:, :num_cols].astype(np.int64)
         counts, _ = self.service.query(row_idx.astype(np.int32), mask)
         return counts[:, :num_cols].astype(np.int64)
+
+    def supports_seq_batch(self) -> bool:
+        return self.service.supports_seq_batch()
+
+    def counts_batch_seqs(
+        self, seqs: np.ndarray, lens: np.ndarray, k: int, h: int,
+        num_cols: int,
+    ):
+        """Bytes-to-counts over the fleet (OP_SEQS): hosts broadcast
+        padded query bytes, every process runs the on-device prep +
+        sample-sharded count in lockstep.  Same contract as
+        DeviceEngine.counts_batch_seqs (None = fall back)."""
+        b, l = seqs.shape
+        if b == 0:
+            return (
+                np.zeros((0, num_cols), dtype=np.int64),
+                np.zeros(0, dtype=np.int32),
+            )
+        if l - k + 1 > 1024:  # device dup pass is O(NK^2) per query
+            return None
+        out = self.service.query_seqs(seqs, lens, k, h)
+        if out is None:
+            return None
+        counts, n_valid = out
+        return counts[:, :num_cols], n_valid
 
     # -- HostEngine-compatible single-query surface --------------------------
 

@@ -79,9 +79,10 @@ def test_two_process_distributed_query(row_shards):
         for line in outs[0][1].splitlines()
         if line.startswith("{")
     ]
-    assert len(results) == 4
+    assert len(results) == (5 if row_shards == 1 else 4)
     dispatch = results.pop()
     assert dispatch["dispatch_ms"] > 0  # measured, recorded in SCALE.md
+    seq_rec = results.pop() if row_shards == 1 else None
     grouped = results.pop()
 
     # reproduce the worker's deterministic matrix + queries, oracle-check
@@ -126,6 +127,47 @@ def test_two_process_distributed_query(row_shards):
     counts, _ = _oracle(words, gidx.astype(np.int32), gmask_q)
     assert grouped["grouped_counts_sum"] == int(counts.sum())
     assert grouped["grouped_head"] == counts[0, :8].tolist()
+
+    if seq_rec is not None:
+        # bytes-to-counts dispatch: single-device prep+count oracle
+        import jax.numpy as jnp
+
+        from bigsi_tpu.hashing.scheme import (
+            MINIMIZER_SEED,
+            default_minimizer_s,
+        )
+        from bigsi_tpu.index.device_engine import DeviceEngine
+        from bigsi_tpu.ops.lookup import (
+            grouped_counts_cols,
+            pack_tile_cols_host,
+        )
+        from bigsi_tpu.ops.prep_jax import prep_streams_device
+
+        srng = np.random.default_rng(5)
+        sb, sl = 4, 80 + 31 - 1
+        seqs = np.frombuffer(b"ACGT", dtype=np.uint8)[
+            srng.integers(0, 4, size=(sb, sl))
+        ]
+        lens = np.full(sb, sl, dtype=np.int32)
+        assert seq_rec["seq_digest"] == int(seqs.sum())
+        k = 31
+        tr = 16
+        s_mer = default_minimizer_s(k)
+        window = k - s_mer + 1
+        ut, gm, nv, ok = prep_streams_device(
+            seqs, lens, k=k, s=s_mer, num_tiles=m // tr, h=h,
+            tile_rows=tr, r=window + 1,
+            u_cap=DeviceEngine._seq_u_cap(sl - k + 1, window),
+            seed=MINIMIZER_SEED,
+        )
+        assert bool(ok)
+        cols = pack_tile_cols_host(words, tr)
+        want = np.asarray(
+            grouped_counts_cols(jnp.asarray(cols), ut, gm, nv)
+        )
+        assert seq_rec["seq_counts_sum"] == int(want.sum())
+        assert seq_rec["seq_head"] == want[0, :8].tolist()
+        assert seq_rec["seq_nv"] == np.asarray(nv).tolist()
 
 
 def test_distributed_serving(tmp_path):

@@ -279,6 +279,11 @@ def test_fused_serving_path_is_active_and_exact(tmp_path):
 
     dev = BIGSI(dict(config, engine="tpu"))
     assert dev.engine.supports_kmer_batch()
+    # round 4 added the all-on-device seq path, which supersedes the
+    # fused host prep when available — disable it here so this test
+    # keeps pinning the HOST-prep fused path (the fallback for
+    # non-ACGT/overflow batches and v2 indexes)
+    dev.engine.supports_seq_batch = lambda: False
     calls = []
     orig = dev.engine.counts_batch_kmers
 
