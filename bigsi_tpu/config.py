@@ -163,6 +163,15 @@ def validate_config(config: dict) -> dict:
                 "screened indexes use slot scheme v3 (h <= 10); got h=%r"
                 % (config.get("h"),)
             )
+        srl = config.get("screen-run-len")
+        if srl is not None and (not isinstance(srl, int) or srl < 1):
+            # run_len=0 would silently dispatch GROUP_R instead of the
+            # persisted shape ('or' fallbacks treat 0 as absent);
+            # negative values only fail at the first query
+            raise ValueError(
+                "'screen-run-len' must be a positive integer, got %r"
+                % (srl,)
+            )
     else:
         for key in ("screen-m", "screen-tile-rows", "screen-window",
                     "screen-run-len", "verify-margin"):

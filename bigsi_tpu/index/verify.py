@@ -130,7 +130,13 @@ def classic_counts_for_colours(
 def _and_count_words_numpy(words, row_idx, word_ids) -> np.ndarray:
     """Numpy oracle for ``and_count_words`` (parity-tested)."""
     k, h = row_idx.shape
-    sub = words[row_idx.reshape(-1)][:, word_ids].reshape(k, h, -1)
+    # ONE fused fancy-index gather of only the candidate words — the
+    # two-step words[rows][:, word_ids] form first materializes K*h
+    # FULL rows (~86 MB/query from the mmap at reference sizing)
+    sub = words[
+        row_idx.reshape(-1)[:, None],
+        np.asarray(word_ids)[None, :],
+    ].reshape(k, h, -1)
     acc = sub[:, 0, :]
     for j in range(1, h):
         acc = acc & sub[:, j, :]
@@ -179,7 +185,6 @@ def verify_queries(
     if use_native:
         from bigsi_tpu import native
 
-        h = row_idx_list[live[0]].shape[1]
         qstart = np.zeros(len(live) + 1, dtype=np.int64)
         np.cumsum([row_idx_list[i].shape[0] for i in live], out=qstart[1:])
         idx = np.concatenate([row_idx_list[i] for i in live])

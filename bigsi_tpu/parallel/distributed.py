@@ -805,8 +805,16 @@ class DistributedEngine:
                 np.zeros((0, num_cols), dtype=np.int64),
                 np.zeros(0, dtype=np.int32),
             )
-        if l - k + 1 > 1024:  # device dup pass is O(NK^2) per query
+        # 64-byte length buckets, exactly like DeviceEngine: every
+        # distinct padded length is a fresh fleet-wide XLA compile and
+        # a _seq_steps cache entry
+        lb = max(k, ((l + 63) // 64) * 64)
+        if lb - k + 1 > 1024:  # device dup pass is O(NK^2) per query
             return None
+        if lb != l:
+            grown = np.full((b, lb), ord("A"), dtype=np.uint8)
+            grown[:, :l] = seqs
+            seqs = grown
         out = self.service.query_seqs(seqs, lens, k, h)
         if out is None:
             return None

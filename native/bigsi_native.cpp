@@ -726,6 +726,10 @@ int64_t prep_minimizer_v3_seqs(const uint8_t* seqs, const int64_t* sstart,
   auto run = [&](int t, int64_t b0, int64_t b1) {
     uint64_t hw[64];
     std::vector<uint64_t> seen((size_t)tsize);
+    // separate occupancy bits: a sentinel IN the key space would make
+    // some k-mer undedupable (fwd+1 wraps to 0 for the all-T k-mer at
+    // k=32 — caught in round-4 review)
+    std::vector<uint64_t> used((size_t)((tsize + 63) / 64));
     int64_t u_max = 0;
     for (int64_t q = b0; q < b1; q++) {
       const int64_t p0 = sstart[q], p1 = sstart[q + 1];
@@ -737,7 +741,8 @@ int64_t prep_minimizer_v3_seqs(const uint8_t* seqs, const int64_t* sstart,
       int32_t cur_tile = -1;
       int slot = r;
       int32_t distinct = 0;
-      if (nk > 0) std::memset(seen.data(), 0, sizeof(uint64_t) * tsize);
+      if (nk > 0)
+        std::memset(used.data(), 0, sizeof(uint64_t) * used.size());
       uint64_t fwd = 0, rc = 0;
       int head = 0;
       uint64_t mn = 0;
@@ -781,13 +786,17 @@ int64_t prep_minimizer_v3_seqs(const uint8_t* seqs, const int64_t* sstart,
         }
         // dedup on the raw-strand code (== raw k-mer bytes for ACGT):
         // matches the reference's set() of raw query k-mer strings
-        const uint64_t key = fwd + 1;  // 0 is the empty marker
         uint64_t probe = splitmix64(fwd) & tmask;
         bool dup = false;
         for (;;) {
-          const uint64_t cur = seen[(size_t)probe];
-          if (cur == 0) { seen[(size_t)probe] = key; break; }
-          if (cur == key) { dup = true; break; }
+          const bool occ =
+              (used[(size_t)(probe >> 6)] >> (probe & 63)) & 1ull;
+          if (!occ) {
+            used[(size_t)(probe >> 6)] |= 1ull << (probe & 63);
+            seen[(size_t)probe] = fwd;
+            break;
+          }
+          if (seen[(size_t)probe] == fwd) { dup = true; break; }
           probe = (probe + 1) & tmask;
         }
         if (dup) continue;
