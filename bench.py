@@ -43,11 +43,16 @@ import time
 import numpy as np
 
 
+# Phase results stashed as they are measured, so a mid-run relay wedge
+# (observed 2026-08-20: the chip hung AFTER the pre-flight, inside the
+# first compile) degrades to a PARTIAL record instead of a zero one.
+_PARTIAL = {}
+
+
 def _arm_deadline():
-    """Emit a zero-valued record instead of hanging forever if the chip
-    is unreachable (a wedged relay blocks even jax.devices(); see
-    docs/DESIGN.md on the Pallas wedge hazard).  BENCH_DEADLINE_S=0
-    disables."""
+    """Emit the best record measured so far (or zero) instead of
+    hanging forever if the chip wedges (docs/DESIGN.md on the relay
+    wedge hazard).  BENCH_DEADLINE_S=0 disables."""
     import os
     import threading
 
@@ -56,20 +61,33 @@ def _arm_deadline():
         return
 
     def fire():
+        out = {
+            "metric": "bitslice_row_and_popcount_throughput",
+            "value": 0,
+            "unit": "rows/s/chip",
+            "vs_baseline": 0.0,
+        }
+        cands = {
+            k: v for k, v in _PARTIAL.items()
+            if k in FPR_TRADE and v and v > 0
+        }
+        if cands:
+            best_layout = min(cands, key=cands.get)
+            rows = _PARTIAL.get("rows", 0)
+            rps = rows / cands[best_layout] if rows else 0
+            trade = FPR_TRADE[best_layout]
+            out.update(
+                value=round(rps, 1),
+                vs_baseline=round(rps / 1e9, 3),
+                layout=best_layout,
+                m_premium=trade["m_premium"],
+                near_miss_fpr=trade["near_miss_fpr"],
+                partial=True,
+            )
+        print(json.dumps(out), flush=True)
         print(
-            json.dumps(
-                {
-                    "metric": "bitslice_row_and_popcount_throughput",
-                    "value": 0,
-                    "unit": "rows/s/chip",
-                    "vs_baseline": 0.0,
-                }
-            ),
-            flush=True,
-        )
-        print(
-            "bench deadline (%.0fs) expired: device unreachable or hung"
-            % deadline,
+            "bench deadline (%.0fs) expired: device hung; emitted %s "
+            "record" % (deadline, "PARTIAL" if cands else "zero"),
             file=sys.stderr,
             flush=True,
         )
@@ -194,6 +212,7 @@ def main():
     native_ok = native.available()
 
     rng = np.random.default_rng(0)
+    _PARTIAL["rows"] = B * K * H
 
     def timed(fn, args):
         out = fn(*args)
@@ -220,6 +239,16 @@ def main():
                 file=sys.stderr,
                 flush=True,
             )
+            name = {
+                "cols16-w19": "minimizer16-w19",
+                "cols16-w19 (re)": "minimizer16-w19",
+                "cols16-w11": "minimizer16",
+                "grouped32": "minimizer32",
+                "blocked16-cols": "blocked16",
+                "classic": "classic",
+            }.get(label)
+            if name:
+                _PARTIAL[name] = min(dt, _PARTIAL.get(name, dt))
         return dt
 
     # ---- real serving streams: sliding-window k-mers of B random
