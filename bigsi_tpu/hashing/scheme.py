@@ -297,19 +297,24 @@ def slot_hashes_v2(kmers: np.ndarray, h: int, tile_rows: int) -> np.ndarray:
 
 
 def default_run_len(window: int | None) -> int:
-    """Grouped-stream run bucket r for a minimizer window.
+    """Grouped-stream run bucket r for a minimizer window, from the
+    on-chip probe table (docs/ROADMAP.md):
 
-    r = w + 1 holds ANY single-occurrence minimizer run in one grouped
-    entry (an s-mer occurrence sits in the window of at most w
-    consecutive k-mers).  Measured on chip (docs/ROADMAP.md probe
-    table): w=19 grouped16 r=20 -> 956 Mrows/s vs r=10 -> 727; the
-    round-3 (w+1)//2 default benched one config and dispatched another
-    (VERDICT r3 weak #1).  r is a query-time bucketing parameter — any
-    value is CORRECT (longer runs spill into fresh entries) — but it is
-    persisted in the manifest (``ksi:run_len``) so the serving engine
-    dispatches exactly the tuned shape the benchmark measures.
+    * long windows (w >= 15): r = w + 1 holds ANY single-occurrence
+      minimizer run in one grouped entry (an s-mer occurrence sits in
+      the window of at most w consecutive k-mers) — w=19 r=20 measured
+      956 Mrows/s vs r=10 -> 727.
+    * short windows (w <= 13): runs are short and spills cheap, while
+      padding-slot compare waste scales with U*r — w=11 r=6 measured
+      411-460 Mrows/s vs r=12 -> 365, so the SMALL bucket wins there.
+
+    r is a query-time bucketing parameter — any value is CORRECT
+    (longer runs spill into fresh entries) — but it is persisted in the
+    manifest (``ksi:run_len``) so the serving engine dispatches exactly
+    the tuned shape the benchmark measures (VERDICT r3 weak #1).
     """
-    return (window or 11) + 1
+    w = window or 11
+    return 6 if w <= 13 else w + 1
 
 
 def default_minimizer_s(k: int) -> int:
