@@ -112,3 +112,49 @@ def test_seq_path_short_and_empty_queries(tmp_path):
     got = idx.search_batch(qs, threshold=1.0)
     assert got[1] == []  # shorter than k
     assert got[0] and got[0][0]["sample_name"] == "s0"
+
+
+def test_http_serving_drives_seq_path(tmp_path, monkeypatch):
+    """End-to-end HTTP: concurrent /search requests coalesce in the
+    micro-batcher into ONE search_batch that takes the device seq path
+    (minimizer/v3 cols index)."""
+    import json
+    import threading
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bigsi_tpu.http.server import make_server
+
+    idx, genomes, _ = _mk_index(tmp_path)
+    calls = {"n": 0}
+    orig = type(idx.engine).counts_batch_seqs
+
+    def spy(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(type(idx.engine), "counts_batch_seqs", spy)
+    cfg = dict(idx.config)
+    cfg["serve_batch_wait_ms"] = 30
+
+    server = make_server(cfg, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def hit(i):
+            q = genomes[i % len(genomes)][20:220]
+            url = "http://127.0.0.1:%d/search?seq=%s&threshold=0.7" % (
+                port, q,
+            )
+            with urllib.request.urlopen(url) as resp:
+                return json.loads(resp.read())
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            outs = list(pool.map(hit, range(4)))
+        assert all(o["results"] for o in outs)
+        assert {o["results"][0]["sample_name"] for o in outs} == {
+            "s0", "s1", "s2", "s3",
+        }
+        assert calls["n"] >= 1, "batcher did not reach the seq path"
+    finally:
+        server.shutdown()
