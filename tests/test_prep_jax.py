@@ -205,3 +205,27 @@ def test_device_prep_overflow_flag():
         r=4, u_cap=2, seed=MINIMIZER_SEED,
     )
     assert not bool(ok)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib required")
+def test_k32_polyT_dedup_native_and_device_agree():
+    """k=32 all-T k-mer: its packed code is 2^64-1, which wrapped the
+    native dedup table's fwd+1 sentinel to the empty marker (round-4
+    review finding) — both preps must count ONE distinct k-mer."""
+    seq = np.full((1, 40), ord("T"), dtype=np.uint8)
+    lens = np.array([40], dtype=np.int32)
+    k, s, T, h, tr, r = 32, 13, 1024, 3, 16, 21
+    out = native.prep_minimizer_v3_seqs(
+        seq.reshape(-1), np.array([0, 40], np.int64), k, s,
+        MINIMIZER_SEED, T, h, tr, r,
+    )
+    assert out is not None and out[2][0] == 1
+    utile, gmask, n_valid, ok = prep_streams_device(
+        seq, lens, k=k, s=s, num_tiles=T, h=h, tile_rows=tr, r=r,
+        u_cap=9, seed=MINIMIZER_SEED,
+    )
+    assert bool(ok)
+    assert int(np.asarray(n_valid)[0]) == 1
+    u = out[0].shape[1]
+    assert np.array_equal(np.asarray(utile)[:, :u], out[0])
+    assert np.array_equal(np.asarray(gmask)[:, :u], out[1])
