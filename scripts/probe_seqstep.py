@@ -157,6 +157,34 @@ def prep_stages(seqs, lens, upto):
             glo.astype(jnp.uint32) | (ghi.astype(jnp.uint32) << 8)
         )
         return utile, gmask, n_valid
+    if upto in ("gatherg", "streams_gatherg"):
+        # gather formulation: entry start positions via compare-sum
+        # (valid positions are a prefix, entry is nondecreasing), then
+        # ONE take_along_axis of [B, U*r] slots — replaces the
+        # [B, U*r, NK] one-hot sum
+        estart = jnp.sum(
+            valid[:, None, :]
+            & (entry[:, None, :] < u_iota[None, :, None]),
+            axis=2,
+            dtype=jnp.int32,
+        )  # [B, U]
+        elen = jnp.sum(
+            (valid[:, None, :] & (entry[:, None, :] == u_iota[None, :, None])),
+            axis=2,
+            dtype=jnp.int32,
+        )  # [B, U]
+        j_iota = jnp.arange(r, dtype=jnp.int32)
+        kidx = estart[:, :, None] + j_iota[None, None, :]  # [B, U, r]
+        sm_pad = jnp.concatenate(
+            [sm, jnp.zeros((b, r), dtype=sm.dtype)], axis=1
+        )
+        gathered = jnp.take_along_axis(
+            sm_pad, kidx.reshape(b, u_cap * r), axis=1
+        ).reshape(b, u_cap, r)
+        gmask = jnp.where(
+            j_iota[None, None, :] < elen[:, :, None], gathered, 0
+        ).astype(jnp.uint32)
+        return utile, gmask, n_valid
     key = jnp.where(valid, entry * r + slot, jnp.int32(-1))
     x_iota = jnp.arange(u_cap * r, dtype=jnp.int32)
     onehot = key[:, None, :] == x_iota[None, :, None]
@@ -264,7 +292,8 @@ def main():
         print("prep upto %-8s: %.3f ms" % (stage, dt * 1e3))
     for stage, label in (
         ("streams", "full"),
-        ("streams_sortdup", "full-sortdup"),
+        ("gatherg", "prep-gatherg"),
+        ("streams_gatherg", "full-gatherg"),
     ):
         dt = marginal(chained(stage, with_count=True))
         print("%-13s prep+count: %.3f ms" % (label, dt * 1e3))
