@@ -693,10 +693,11 @@ def _resolve_engine_factory(config, engine_factory):
             mesh = make_mesh(axis_sizes=axes[:3])
             return (
                 lambda matrix, layout="classic", tile_rows=32,
-                minimizer_window=None, run_len=None: MeshEngine(
+                minimizer_window=None, run_len=None, slot_scheme=1:
+                MeshEngine(
                     matrix, mesh=mesh, layout=layout, tile_rows=tile_rows,
                     row_shards=row_shards, minimizer_window=minimizer_window,
-                    run_len=run_len,
+                    run_len=run_len, slot_scheme=slot_scheme,
                 )
             )
         return MeshEngine

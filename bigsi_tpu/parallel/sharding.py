@@ -422,6 +422,7 @@ class MeshEngine:
         self, matrix, mesh: Mesh | None = None, h: int | None = None,
         layout: str = "classic", tile_rows: int = 32, row_shards: int = 1,
         minimizer_window: int | None = None, run_len: int | None = None,
+        slot_scheme: int = 1,
     ):
         self.matrix = matrix
         self.mesh = mesh or make_mesh()
@@ -433,6 +434,9 @@ class MeshEngine:
             run_len = default_run_len(minimizer_window)
         self.run_len = run_len
         self.row_shards = row_shards
+        self.minimizer_window = minimizer_window
+        self.slot_scheme = slot_scheme
+        self._seq_steps = {}
         if row_shards > 1 and layout not in ("blocked", "minimizer"):
             raise ValueError(
                 "row sharding needs a tile layout (blocked/minimizer): "
@@ -519,6 +523,75 @@ class MeshEngine:
             self.layout == "minimizer"
             and self.row_shards == 1
             and cols_dtype(self.tile_rows) is not None
+        )
+
+    # -- bytes-to-counts (on-device prep) over the mesh ----------------
+
+    def supports_seq_batch(self) -> bool:
+        num_tiles = max(1, self.matrix.num_rows // self.tile_rows)
+        return (
+            self._use_cols()
+            and self.slot_scheme == 3
+            and self.tile_rows & (self.tile_rows - 1) == 0
+            and num_tiles < (1 << 28)
+        )
+
+    def counts_batch_seqs(
+        self, seqs: np.ndarray, lens: np.ndarray, k: int, h: int,
+        num_cols: int,
+    ):
+        """Bytes-to-counts over the mesh: on-device prep replicated per
+        batch shard + sample-sharded cols count (make_sharded_seq_step).
+        Same contract as DeviceEngine.counts_batch_seqs (None = caller
+        falls back to the host-prep path)."""
+        from bigsi_tpu.hashing.scheme import (
+            MINIMIZER_SEED,
+            default_minimizer_s,
+            window_to_s,
+        )
+        from bigsi_tpu.index.device_engine import DeviceEngine
+        from bigsi_tpu.ops.lookup import GROUP_R
+
+        b, l = seqs.shape
+        if b == 0:
+            return (
+                np.zeros((0, num_cols), dtype=np.int64),
+                np.zeros(0, dtype=np.int32),
+            )
+        lb = max(k, ((l + 63) // 64) * 64)
+        if lb - k + 1 > 1024:  # device dup pass is O(NK^2) per query
+            return None
+        _, cols, db = self._cols_setup()
+        bb = 8
+        while bb < b:
+            bb *= 2
+        bb = -(-bb // db) * db
+        padded = np.full((bb, lb), ord("A"), dtype=np.uint8)
+        padded[:b, :l] = seqs
+        lens_b = np.zeros(bb, dtype=np.int32)
+        lens_b[:b] = lens
+        key = (k, h, lb)
+        if key not in self._seq_steps:
+            s_mer = (
+                window_to_s(k, self.minimizer_window)
+                or default_minimizer_s(k)
+            )
+            window = k - s_mer + 1
+            self._seq_steps[key] = make_sharded_seq_step(
+                cols.sharding.mesh,
+                k=k, s=s_mer,
+                num_tiles=max(1, self.matrix.num_rows // self.tile_rows),
+                h=h, tile_rows=self.tile_rows,
+                r=self.run_len or GROUP_R,
+                u_cap=DeviceEngine._seq_u_cap(lb - k + 1, window),
+                seed=MINIMIZER_SEED,
+            )
+        counts, n_valid, ok = self._seq_steps[key](cols, padded, lens_b)
+        if not bool(np.asarray(ok).all()):
+            return None
+        return (
+            np.asarray(counts)[:b, :num_cols].astype(np.int64),
+            np.asarray(n_valid)[:b],
         )
 
     def _step(self, h: int):

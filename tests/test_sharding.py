@@ -352,3 +352,46 @@ def test_sharded_seq_step_matches_single_device():
     tiny = make_sharded_seq_step(mesh, **{**kw, "u_cap": 2})
     _, _, ok2 = tiny(cols_sh, seqs, lens)
     assert not np.asarray(ok2).all()
+
+
+def test_search_batch_on_mesh_engine_seq_path(tmp_path, monkeypatch):
+    """engine=mesh + minimizer/v3 routes search_batch through the
+    bytes-to-counts sharded step, results identical to the host path."""
+    from bigsi_tpu import BIGSI
+    from bigsi_tpu.kmers import seq_to_kmers
+
+    rng = np.random.default_rng(31)
+    genomes = [
+        "".join("ACGT"[c] for c in rng.integers(0, 4, 400)) for _ in range(5)
+    ]
+    cfg = {
+        "storage-engine": "bigsi-tpu",
+        "storage-config": {"filename": str(tmp_path / "idx")},
+        "k": 31, "m": 1 << 17, "h": 3, "engine": "mesh",
+        "mesh": [2, 1, 4],
+        "layout": "minimizer", "tile-rows": 16, "minimizer-window": 19,
+    }
+    blooms = [BIGSI.bloom(cfg, seq_to_kmers(g, 31)) for g in genomes]
+    idx = BIGSI.build(cfg, blooms, ["s%d" % i for i in range(5)])
+    assert idx.engine.supports_seq_batch()
+    calls = {"n": 0}
+    orig = idx.engine.counts_batch_seqs
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(idx.engine, "counts_batch_seqs", spy)
+    queries = [g[13:213] for g in genomes] + [
+        "".join("ACGT"[c] for c in rng.integers(0, 4, 150))
+    ]
+    got = idx.search_batch(queries, threshold=0.7)
+    assert calls["n"] == 1, "mesh seq path did not engage"
+    monkeypatch.setattr(
+        idx.engine, "supports_seq_batch", lambda: False, raising=False
+    )
+    want = idx.search_batch(queries, threshold=0.7)
+    assert got == want
+    assert {r[0]["sample_name"] for r in got[:5]} == {
+        "s%d" % i for i in range(5)
+    }
