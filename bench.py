@@ -30,10 +30,25 @@ through one compiled step.
 
 Prints ONE JSON line with {"metric", "value", "unit", "vs_baseline"}
 (vs_baseline = value / 1e9 rows/s, the BASELINE.md target) plus the
-self-describing fields "layout", "m_premium" (measured
-BACKGROUND-FPR-parity m factor vs classic — near-miss parity is not
-purchasable with m, see FPR_TRADE), "near_miss_fpr",
-"native_available", and "serving_qps".
+self-describing fields:
+
+* layout / m_premium / near_miss_fpr / precision_1pct — the winning
+  config NAMED with its measured FPR and result-quality trade
+  (FPR_TRADE below; docs/RESULT_QUALITY.md);
+* equal_fpr_hbm_rows_per_s — the headline divided by the measured m
+  premium: rows/s at equal background FPR AND equal HBM;
+* serving_qps / serving_mode — steady-state queries/s through the
+  better of the device-prep (bytes in, ops/prep_jax.py) and host-prep
+  serving paths;
+* verified_qps — two-stage screen+verify serving (classic result
+  dicts) at a pessimistic 8-candidates-per-query verify load;
+* blocked16_rows_per_s — the classic-result-quality middle ground;
+* wide_n_{2048,4096}_rows_per_s — sample-width scaling points;
+* native_available; "partial": true when the run wedged mid-way and
+  the deadline handler emitted the best phases measured so far.
+
+Cross-run variance: see BASELINE.md "Cross-run variance" — compare
+detail lines, not single headline numbers, across rounds.
 """
 
 import json
