@@ -82,13 +82,16 @@ def _arm_deadline():
             "unit": "rows/s/chip",
             "vs_baseline": 0.0,
         }
+        snap = dict(_PARTIAL)  # main thread may be mid-insert: a
+        # changed-size RuntimeError here would kill the handler before
+        # os._exit and hang the bench forever
         cands = {
-            k: v for k, v in _PARTIAL.items()
+            k: v for k, v in snap.items()
             if k in FPR_TRADE and v and v > 0
         }
         if cands:
             best_layout = min(cands, key=cands.get)
-            rows = _PARTIAL.get("rows", 0)
+            rows = snap.get("rows", 0)
             rps = rows / cands[best_layout] if rows else 0
             trade = FPR_TRADE[best_layout]
             out.update(

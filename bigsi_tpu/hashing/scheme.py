@@ -314,7 +314,9 @@ def default_run_len(window: int | None) -> int:
     the tuned shape the benchmark measures (VERDICT r3 weak #1).
     """
     w = window or 11
-    return 6 if w <= 13 else w + 1
+    # w <= 13: the small bucket (capped at w+1 — tiny windows cannot
+    # have runs longer than w+1, so padding past that is dead compares)
+    return min(w + 1, 6) if w <= 13 else w + 1
 
 
 def default_minimizer_s(k: int) -> int:

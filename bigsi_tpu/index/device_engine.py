@@ -29,6 +29,30 @@ from bigsi_tpu.ops.lookup import (
 _MIN_BUCKET = 64
 
 
+def seq_batch_geometry(seqs, lens, k: int, window: int, db: int = 1):
+    """Shared bucketing/guards for every engine's ``counts_batch_seqs``
+    (device / mesh / distributed use the SAME rules so tuning changes
+    land once): 64-byte length buckets, pow2 batch bucket rounded to a
+    multiple of ``db`` (the mesh batch axis), the O(NK^2) long-query
+    guard, and the grouped-entry budget.  Returns None when the batch
+    must take a host path, else (padded uint8[BB, LB], lens int32[BB],
+    lb, u_cap)."""
+    b, l = seqs.shape
+    lb = max(k, ((l + 63) // 64) * 64)
+    if lb - k + 1 > 1024:  # device dup pass is O(NK^2) per query
+        return None
+    bb = 8
+    while bb < b:
+        bb *= 2
+    bb = -(-bb // db) * db
+    padded = np.full((bb, lb), ord("A"), dtype=np.uint8)
+    padded[:b, :l] = seqs
+    lens_b = np.zeros(bb, dtype=np.int32)
+    lens_b[:b] = lens
+    u_cap = DeviceEngine._seq_u_cap(lb - k + 1, window)
+    return padded, lens_b, lb, u_cap
+
+
 def bucket_size(k: int) -> int:
     b = _MIN_BUCKET
     while b < k:
@@ -580,20 +604,10 @@ class DeviceEngine:
         s = window_to_s(k, self.minimizer_window) or default_minimizer_s(k)
         window = k - s + 1
         num_tiles = max(1, self.matrix.num_rows // self.tile_rows)
-        # static-shape buckets: pow2 batch, 64-byte length steps
-        bb = 8
-        while bb < b:
-            bb *= 2
-        lb = max(k, ((l + 63) // 64) * 64)
-        if lb - k + 1 > 1024:
-            # the device dup pass is O(NK^2) per query — long queries
-            # (genome-scale bulk_search inputs) take the host-prep path
+        geom = seq_batch_geometry(seqs, lens, k, window)
+        if geom is None:
             return None
-        padded = np.zeros((bb, lb), dtype=np.uint8)
-        padded[:b, :l] = seqs
-        lens_b = np.zeros(bb, dtype=np.int32)
-        lens_b[:b] = lens
-        u_cap = self._seq_u_cap(lb - k + 1, window)
+        padded, lens_b, lb, u_cap = geom
         counts, n_valid, ok = _counts_batch_seqs(
             self.cols,
             jax.device_put(padded, self.device),

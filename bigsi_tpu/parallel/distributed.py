@@ -805,17 +805,24 @@ class DistributedEngine:
                 np.zeros((0, num_cols), dtype=np.int64),
                 np.zeros(0, dtype=np.int32),
             )
-        # 64-byte length buckets, exactly like DeviceEngine: every
-        # distinct padded length is a fresh fleet-wide XLA compile and
-        # a _seq_steps cache entry
-        lb = max(k, ((l + 63) // 64) * 64)
-        if lb - k + 1 > 1024:  # device dup pass is O(NK^2) per query
+        from bigsi_tpu.hashing.scheme import (
+            default_minimizer_s,
+            window_to_s,
+        )
+        from bigsi_tpu.index.device_engine import seq_batch_geometry
+
+        s_mer = (
+            window_to_s(k, self.service.minimizer_window)
+            or default_minimizer_s(k)
+        )
+        # shared bucketing/guards (every engine uses the same rules —
+        # a fresh padded length here is a fleet-wide XLA compile);
+        # query_seqs rounds the batch to the mesh's own multiple
+        geom = seq_batch_geometry(seqs, lens, k, k - s_mer + 1)
+        if geom is None:
             return None
-        if lb != l:
-            grown = np.full((b, lb), ord("A"), dtype=np.uint8)
-            grown[:, :l] = seqs
-            seqs = grown
-        out = self.service.query_seqs(seqs, lens, k, h)
+        padded, lens_b, _lb, _u_cap = geom
+        out = self.service.query_seqs(padded, lens_b, k, h)
         if out is None:
             return None
         counts, n_valid = out

@@ -549,7 +549,7 @@ class MeshEngine:
             default_minimizer_s,
             window_to_s,
         )
-        from bigsi_tpu.index.device_engine import DeviceEngine
+        from bigsi_tpu.index.device_engine import seq_batch_geometry
         from bigsi_tpu.ops.lookup import GROUP_R
 
         b, l = seqs.shape
@@ -558,32 +558,25 @@ class MeshEngine:
                 np.zeros((0, num_cols), dtype=np.int64),
                 np.zeros(0, dtype=np.int32),
             )
-        lb = max(k, ((l + 63) // 64) * 64)
-        if lb - k + 1 > 1024:  # device dup pass is O(NK^2) per query
-            return None
+        s_mer = (
+            window_to_s(k, self.minimizer_window)
+            or default_minimizer_s(k)
+        )
+        window = k - s_mer + 1
         _, cols, db = self._cols_setup()
-        bb = 8
-        while bb < b:
-            bb *= 2
-        bb = -(-bb // db) * db
-        padded = np.full((bb, lb), ord("A"), dtype=np.uint8)
-        padded[:b, :l] = seqs
-        lens_b = np.zeros(bb, dtype=np.int32)
-        lens_b[:b] = lens
+        geom = seq_batch_geometry(seqs, lens, k, window, db=db)
+        if geom is None:
+            return None
+        padded, lens_b, lb, u_cap = geom
         key = (k, h, lb)
         if key not in self._seq_steps:
-            s_mer = (
-                window_to_s(k, self.minimizer_window)
-                or default_minimizer_s(k)
-            )
-            window = k - s_mer + 1
             self._seq_steps[key] = make_sharded_seq_step(
                 cols.sharding.mesh,
                 k=k, s=s_mer,
                 num_tiles=max(1, self.matrix.num_rows // self.tile_rows),
                 h=h, tile_rows=self.tile_rows,
                 r=self.run_len or GROUP_R,
-                u_cap=DeviceEngine._seq_u_cap(lb - k + 1, window),
+                u_cap=u_cap,
                 seed=MINIMIZER_SEED,
             )
         counts, n_valid, ok = self._seq_steps[key](cols, padded, lens_b)

@@ -290,9 +290,10 @@ def main():
     for stage in ("hash", "dup", "dup_sort", "group", "streams"):
         dt = marginal(chained(stage, with_count=False))
         print("prep upto %-8s: %.3f ms" % (stage, dt * 1e3))
+    dt = marginal(chained("gatherg", with_count=False))
+    print("prep-gatherg (prep only) : %.3f ms" % (dt * 1e3))
     for stage, label in (
         ("streams", "full"),
-        ("gatherg", "prep-gatherg"),
         ("streams_gatherg", "full-gatherg"),
     ):
         dt = marginal(chained(stage, with_count=True))

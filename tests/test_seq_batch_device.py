@@ -40,7 +40,9 @@ def test_seq_path_engages_and_matches_host_path(tmp_path, monkeypatch):
 
     def spy(*a, **kw):
         calls["n"] += 1
-        return orig(*a, **kw)
+        out = orig(*a, **kw)
+        assert out is not None, "device seq path fell back (overflow?)"
+        return out
 
     monkeypatch.setattr(idx.engine, "counts_batch_seqs", spy)
     got = idx.search_batch(queries, threshold=0.7)
@@ -131,7 +133,9 @@ def test_http_serving_drives_seq_path(tmp_path, monkeypatch):
 
     def spy(self, *a, **kw):
         calls["n"] += 1
-        return orig(self, *a, **kw)
+        out = orig(self, *a, **kw)
+        assert out is not None, "device seq path fell back (overflow?)"
+        return out
 
     monkeypatch.setattr(type(idx.engine), "counts_batch_seqs", spy)
     cfg = dict(idx.config)

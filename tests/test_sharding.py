@@ -379,7 +379,9 @@ def test_search_batch_on_mesh_engine_seq_path(tmp_path, monkeypatch):
 
     def spy(*a, **kw):
         calls["n"] += 1
-        return orig(*a, **kw)
+        out = orig(*a, **kw)
+        assert out is not None, "device seq path fell back (overflow?)"
+        return out
 
     monkeypatch.setattr(idx.engine, "counts_batch_seqs", spy)
     queries = [g[13:213] for g in genomes] + [
