@@ -229,3 +229,58 @@ def test_k32_polyT_dedup_native_and_device_agree():
     u = out[0].shape[1]
     assert np.array_equal(np.asarray(utile)[:, :u], out[0])
     assert np.array_equal(np.asarray(gmask)[:, :u], out[1])
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib required")
+def test_device_prep_randomized_parity_sweep():
+    """Randomized sweep over (k, window, r, tile_rows, num_tiles,
+    lengths, planted dups): device counts must equal native counts via
+    the kernel on every draw (streams may differ only in dup-slot
+    placement, which the padding correction erases)."""
+    import jax.numpy as jnp
+
+    from bigsi_tpu.ops.lookup import grouped_counts_cols
+
+    rng = np.random.default_rng(77)
+    for trial in range(12):
+        k = int(rng.integers(15, 33))
+        window = int(rng.integers(3, min(k, 22)))
+        s = k - window + 1
+        tr = int(rng.choice([8, 16]))
+        h = int(rng.integers(1, 6))
+        r = int(rng.integers(2, window + 3))
+        num_tiles = int(rng.integers(3, 5000))
+        b = int(rng.integers(1, 6))
+        lmax = k + int(rng.integers(4, 70))
+        seqs = _rand_seqs(rng, b, lmax)
+        lens = rng.integers(k - 2, lmax + 1, size=b).astype(np.int32)
+        if rng.random() < 0.5 and lens[0] >= k + 2 * k:
+            seqs[0, k : 2 * k] = seqs[0, 0:k]  # planted duplicate
+        u_cap = lmax - k + 1
+        utile, gmask, n_valid, ok = prep_streams_device(
+            seqs, lens, k=k, s=s, num_tiles=num_tiles, h=h,
+            tile_rows=tr, r=r, u_cap=u_cap, seed=MINIMIZER_SEED,
+        )
+        assert bool(ok), (trial, k, window)
+        flat = np.concatenate([seqs[i, : max(lens[i], 0)] for i in range(b)])
+        sstart = np.zeros(b + 1, dtype=np.int64)
+        np.cumsum([max(int(x), 0) for x in lens], out=sstart[1:])
+        got_native = native.prep_minimizer_v3_seqs(
+            flat, sstart, k, s, MINIMIZER_SEED, num_tiles, h, tr, r
+        )
+        assert got_native is not None, (trial, k, s)
+        wu, wg, wn = got_native
+        assert np.array_equal(np.asarray(n_valid), wn), (trial, k, window)
+        n = 64
+        cols = jnp.asarray(
+            rng.integers(
+                0, 1 << (tr if tr < 16 else 16), size=(num_tiles, n)
+            ).astype(np.uint16 if tr == 16 else np.uint8)
+        )
+        got = np.asarray(grouped_counts_cols(cols, utile, gmask, n_valid))
+        want = np.asarray(
+            grouped_counts_cols(
+                cols, jnp.asarray(wu), jnp.asarray(wg), jnp.asarray(wn)
+            )
+        )
+        assert np.array_equal(got, want), (trial, k, window, tr, r)
