@@ -21,7 +21,6 @@ CPU test mesh and on pod slices.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
