@@ -397,10 +397,12 @@ def main():
     lens_b = np.full(B, L, dtype=np.int32)
     seq_d = jax.device_put(seq_pad, dev)
     lens_d = jax.device_put(lens_b, dev)
-    from bigsi_tpu.index.device_engine import DeviceEngine
-
     S19 = KLEN - W19 + 1
-    U_CAP = DeviceEngine._seq_u_cap(LB - KLEN + 1, W19)
+    # the engine's steady-state TIGHT budget (it escalates to the safe
+    # _seq_u_cap only on overflow) — measure what serving dispatches
+    _nk = LB - KLEN + 1
+    _expect = _nk / ((W19 + 1) / 2.0)
+    U_CAP = min(_nk, ((int(_expect * 1.15) + 4 + 7) // 8) * 8)
 
     def make_seqstep(nsteps):
         @jax.jit

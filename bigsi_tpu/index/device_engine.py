@@ -607,21 +607,38 @@ class DeviceEngine:
         geom = seq_batch_geometry(seqs, lens, k, window)
         if geom is None:
             return None
-        padded, lens_b, lb, u_cap = geom
-        counts, n_valid, ok = _counts_batch_seqs(
-            self.cols,
-            jax.device_put(padded, self.device),
-            jax.device_put(lens_b, self.device),
-            k=k, s=s, num_tiles=num_tiles, h=h,
-            tile_rows=self.tile_rows, r=self.run_len or GROUP_R,
-            u_cap=u_cap, seed=MINIMIZER_SEED,
+        padded, lens_b, lb, u_big = geom
+        # the count kernel's gather AND compare work scale with u_cap,
+        # so try a TIGHT budget first (~1.15x expected entries) and
+        # escalate to the safe one on overflow; escalation is sticky —
+        # a workload that once overflowed keeps the big budget instead
+        # of paying a wasted dispatch per batch
+        nk = lb - k + 1
+        expect = nk / max(1.0, (window + 1) / 2.0)
+        u_small = min(nk, ((int(expect * 1.15) + 4 + 7) // 8) * 8)
+        caps = (
+            [u_big]
+            if getattr(self, "_seq_cap_escalated", False)
+            or u_small >= u_big
+            else [u_small, u_big]
         )
-        if not bool(ok):
-            return None
-        return (
-            np.asarray(counts)[:b, :num_cols].astype(np.int64),
-            np.asarray(n_valid)[:b],
-        )
+        pd = jax.device_put(padded, self.device)
+        ld = jax.device_put(lens_b, self.device)
+        for cap in caps:
+            counts, n_valid, ok = _counts_batch_seqs(
+                self.cols, pd, ld,
+                k=k, s=s, num_tiles=num_tiles, h=h,
+                tile_rows=self.tile_rows, r=self.run_len or GROUP_R,
+                u_cap=cap, seed=MINIMIZER_SEED,
+            )
+            if bool(ok):
+                return (
+                    np.asarray(counts)[:b, :num_cols].astype(np.int64),
+                    np.asarray(n_valid)[:b],
+                )
+            if cap != u_big:
+                self._seq_cap_escalated = True
+        return None
 
     def _use_fused(self) -> bool:
         """Fused Pallas path: minimizer layout, exactly 32 words per

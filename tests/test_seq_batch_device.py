@@ -162,3 +162,20 @@ def test_http_serving_drives_seq_path(tmp_path, monkeypatch):
         assert calls["n"] >= 1, "batcher did not reach the seq path"
     finally:
         server.shutdown()
+
+
+def test_seq_path_tight_budget_escalation(tmp_path, monkeypatch):
+    """First-try tight entry budget: when it overflows, the engine
+    escalates to the safe budget in the SAME call (results correct)
+    and stays escalated for later batches."""
+    idx, genomes, _ = _mk_index(tmp_path, window=3)  # short window:
+    # many entries per query, so a tight budget genuinely overflows
+    eng = idx.engine
+    assert eng.supports_seq_batch()
+    qs = [g[:180] for g in genomes[:3]]
+    got = idx.search_batch(qs, threshold=0.7)
+    monkeypatch.setattr(
+        eng, "supports_seq_batch", lambda: False, raising=False
+    )
+    want = idx.search_batch(qs, threshold=0.7)
+    assert got == want
