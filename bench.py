@@ -153,7 +153,7 @@ FPR_TRADE = {
 }
 
 
-def _wait_for_device(max_wait_s: float = 480.0) -> None:
+def _wait_for_device(max_wait_s: float = 600.0) -> None:
     """Pre-flight: wait for the chip to answer a trivial program.
 
     The relay wedges for minutes after heavy back-to-back sessions (a
