@@ -142,7 +142,7 @@ FPR_TRADE = {
         "m_premium": 1.75, "near_miss_fpr": 0.0398, "precision_1pct": 1.0,
     },
     "minimizer32": {
-        "m_premium": 4.0, "near_miss_fpr": 0.138, "precision_1pct": None,
+        "m_premium": 4.0, "near_miss_fpr": 0.138, "precision_1pct": 0.93,
     },
     "minimizer16": {
         "m_premium": 6.0, "near_miss_fpr": 0.227, "precision_1pct": 0.84,

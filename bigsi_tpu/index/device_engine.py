@@ -251,8 +251,11 @@ class DeviceEngine:
                     # sample replaces the masked AND-reduce + csa tree
                     # (2.8x on chip, scripts/probe_r3.py).  Same bits,
                     # so the row-major copy is dropped after packing.
+                    # self.words already lives on self.device, so the
+                    # jit runs there (the jit(device=...) kwarg is
+                    # deprecated)
                     self.cols = jax.jit(
-                        pack_tile_cols, static_argnums=1, device=self.device
+                        pack_tile_cols, static_argnums=1
                     )(self.words, tile_rows)
                     self.cols.block_until_ready()
                     self.words = None

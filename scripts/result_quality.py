@@ -63,6 +63,8 @@ LAYOUTS = [
     ("classic", {}),
     ("blocked32", {"layout": "blocked", "tile-rows": 32}),
     ("blocked16", {"layout": "blocked", "tile-rows": 16}),
+    ("minimizer32-w11", {"layout": "minimizer", "tile-rows": 32,
+                         "minimizer-window": 11}),
     ("minimizer16-w11", {"layout": "minimizer", "tile-rows": 16,
                          "minimizer-window": 11}),
     ("minimizer16-w19", {"layout": "minimizer", "tile-rows": 16,
