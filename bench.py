@@ -269,6 +269,19 @@ def main():
                 _PARTIAL[name] = min(dt, _PARTIAL.get(name, dt))
         return dt
 
+    def try_marginal(make, label):
+        """A phase that fails (compile error, transient OOM) must not
+        zero the whole record — log it and keep measuring."""
+        try:
+            return marginal(make, label)
+        except Exception as e:  # noqa: BLE001 — continue the capture
+            print(
+                "bench: %s FAILED: %s" % (label, str(e)[:160]),
+                file=sys.stderr,
+                flush=True,
+            )
+            return float("inf")
+
     # ---- real serving streams: sliding-window k-mers of B random
     # sequences through the fused native prep (slot scheme v3) — the
     # honest tile-run distribution for the minimizer paths
@@ -421,7 +434,7 @@ def main():
 
         return f, (cols16, seq_d, lens_d)
 
-    dt_seqstep = marginal(make_seqstep, 'seq-step (device prep)')
+    dt_seqstep = try_marginal(make_seqstep, 'seq-step (device prep)')
 
     # ---- blocked16-cols: per-kmer tile fetch (no run grouping) — the
     # classic-RESULT-QUALITY middle ground (docs/RESULT_QUALITY.md:
@@ -449,9 +462,9 @@ def main():
 
         return f, (cols16, ut_pk_d, gm_pk_d, nv_pk_d)
 
-    dt_blocked_cols = marginal(make_blocked_cols, 'blocked16-cols')
+    dt_blocked_cols = try_marginal(make_blocked_cols, 'blocked16-cols')
 
-    dt_cols16 = marginal(make_cols16, 'cols16-w11')
+    dt_cols16 = try_marginal(make_cols16, 'cols16-w11')
 
     # ---- grouped16 (row-major minimizer tiles, same real streams)
     tiles16 = jax.jit(
@@ -472,7 +485,7 @@ def main():
 
         return f, (tiles16, ut16_d, gm16_d)
 
-    dt_grouped16 = marginal(make_grouped16, 'grouped16')
+    dt_grouped16 = try_marginal(make_grouped16, 'grouped16')
     del tiles16
 
     # ---- grouped32 (tile_rows=32, v1-style synthetic streams at the
@@ -504,7 +517,7 @@ def main():
 
         return f, (tiles32, ut32_d, gm32_d)
 
-    dt_grouped32 = marginal(make_grouped32, 'grouped32')
+    dt_grouped32 = try_marginal(make_grouped32, 'grouped32')
     del tiles32
 
     # ---- classic layout
@@ -529,7 +542,7 @@ def main():
 
         return f, (words, ridx, mask)
 
-    dt_classic = marginal(make_classic, 'classic')
+    dt_classic = try_marginal(make_classic, 'classic')
     del words
 
     # ---- sample-width scaling: cols19 at N=2048/4096 (equal m),
@@ -579,8 +592,8 @@ def main():
     # Headline + serving re-measure after every other config tears
     # down: HBM placement and relay state move cols19 2-3x between
     # runs (docs/ROADMAP.md round-4 notes) — report the best placement.
-    dt_cols19 = min(dt_cols19, marginal(make_cols19, "cols16-w19 (re)"))
-    dt_seqstep = min(dt_seqstep, marginal(make_seqstep, "seq-step (re)"))
+    dt_cols19 = min(dt_cols19, try_marginal(make_cols19, "cols16-w19 (re)"))
+    dt_seqstep = min(dt_seqstep, try_marginal(make_seqstep, "seq-step (re)"))
 
 
     # ---- serving host side (fused native prep; see DeviceEngine.
@@ -624,7 +637,9 @@ def main():
         return out, okl
 
     pad_ms = time_host(pad_batch)
-    serve_dev_qps = B / (dt_seqstep + pad_ms / 1e3)
+    serve_dev_qps = (
+        B / (dt_seqstep + pad_ms / 1e3) if np.isfinite(dt_seqstep) else 0.0
+    )
     serve_host_qps = (
         B / max(serve_host_ms / 1e3, dt_cols19) if native_ok else 0.0
     )
@@ -666,7 +681,8 @@ def main():
             )
 
         verify_ms = time_host(verify_pass, reps=3)
-        verified_qps = B / max(dt_seqstep + pad_ms / 1e3, verify_ms / 1e3)
+        screen_dt = dt_seqstep if np.isfinite(dt_seqstep) else dt_cols19
+        verified_qps = B / max(screen_dt + pad_ms / 1e3, verify_ms / 1e3)
 
     rows = B * K * H
     candidates = {
@@ -676,6 +692,9 @@ def main():
         "blocked16": dt_blocked_cols,
         "classic": dt_classic,
     }
+    candidates = {
+        k2: v for k2, v in candidates.items() if np.isfinite(v)
+    } or {"classic": dt_classic}
     best_layout = min(candidates, key=candidates.get)
     best = candidates[best_layout]
     trade = FPR_TRADE[best_layout]
