@@ -236,3 +236,49 @@ def test_verified_small_screen_m(tmp_path):
         assert vr.search_batch(queries, threshold=t) == cl.search_batch(
             queries, threshold=t
         )
+
+
+def test_verified_index_over_http(tmp_path):
+    """HTTP serving of a verified index: /search returns the classic
+    result dicts (screen+verify behind the batcher)."""
+    import json
+    import threading
+    import urllib.request
+
+    import numpy as np
+
+    from bigsi_tpu.graph.bigsi import BIGSI
+    from bigsi_tpu.http.server import make_server
+    from bigsi_tpu.kmers import seq_to_kmers
+
+    rng = np.random.default_rng(4)
+    genomes = [
+        "".join("ACGT"[c] for c in rng.integers(0, 4, 500)) for _ in range(4)
+    ]
+    cfg = {
+        "storage-engine": "bigsi-tpu",
+        "storage-config": {"filename": str(tmp_path / "vidx")},
+        "k": 31, "m": 1 << 18, "h": 3, "screen": "minimizer",
+    }
+    blooms = [BIGSI.bloom(cfg, seq_to_kmers(g, 31)) for g in genomes]
+    BIGSI.build(cfg, blooms, ["s%d" % i for i in range(4)])
+    ccfg = {
+        "storage-engine": "bigsi-tpu",
+        "storage-config": {"filename": str(tmp_path / "cidx")},
+        "k": 31, "m": 1 << 18, "h": 3,
+    }
+    cblooms = [BIGSI.bloom(ccfg, seq_to_kmers(g, 31)) for g in genomes]
+    oracle = BIGSI.build(ccfg, cblooms, ["s%d" % i for i in range(4)])
+
+    server = make_server(cfg, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        q = genomes[2][40:300]
+        url = "http://127.0.0.1:%d/search?seq=%s&threshold=0.7" % (port, q)
+        with urllib.request.urlopen(url) as resp:
+            d = json.loads(resp.read())
+        want = oracle.search(q, threshold=0.7)
+        assert d["results"] == want
+    finally:
+        server.shutdown()
