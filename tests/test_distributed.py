@@ -228,7 +228,9 @@ def test_distributed_serving(tmp_path):
     names = [r["sample_name"] for r in body["results"]]
     assert "a" in names  # exact sample always hits
     assert "citation" in body
-    # bulk search exercised the grouped (minimizer) multi-process path
+    # bulk search exercises the multi-process minimizer path (OP_SEQS
+    # bytes-broadcast now that v3 is the persisted default; grouped is
+    # the fallback)
     bulk_line = next(
         line for line in host0.splitlines() if line.startswith("BULK:")
     )
