@@ -179,7 +179,7 @@ def _wait_for_device(max_wait_s: float = 600.0) -> None:
                 timeout=150,
                 capture_output=True,
             )
-            return
+            return True
         except Exception as e:  # noqa: BLE001 — retry until the deadline
             if time.monotonic() >= deadline:
                 print(
@@ -188,7 +188,7 @@ def _wait_for_device(max_wait_s: float = 600.0) -> None:
                     file=sys.stderr,
                     flush=True,
                 )
-                return
+                return False
             print(
                 "device pre-flight attempt %d failed; waiting for the "
                 "relay to recover..." % attempt,
@@ -200,7 +200,7 @@ def _wait_for_device(max_wait_s: float = 600.0) -> None:
 
 def main():
     sys.path.insert(0, "/root/repo")
-    _wait_for_device()
+    device_healthy = _wait_for_device()
     _arm_deadline()
     import jax
     import jax.numpy as jnp
@@ -225,8 +225,12 @@ def main():
     K = 512 if on_tpu else 32  # k-mers per query
     H = 3
     KLEN = 31
-    CHAIN = 9 if on_tpu else 3
-    REPEATS = 5
+    # distressed relay (pre-flight failed): shorter chains/repeats so
+    # the deadline window still yields numbers — compiles can take
+    # minutes each in that state and min-of-repeats absorbs less noise
+    # anyway when every execution is slow
+    CHAIN = (9 if device_healthy else 5) if on_tpu else 3
+    REPEATS = 5 if device_healthy else 3
     native_ok = native.available()
 
     rng = np.random.default_rng(0)
