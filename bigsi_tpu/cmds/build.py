@@ -81,8 +81,16 @@ def build(config: dict, bloomfilter_filepaths, samples, max_memory=None) -> dict
 
 
 def build_main(config: dict, bloomfilter_filepaths, samples) -> BIGSI:
+    from bigsi_tpu.index.verify import screen_params_from_config
+
+    # verified (screen:) blooms carry m + screen-m bits — loading only
+    # m would silently truncate the screen half
+    total = config.get("m")
+    screen = screen_params_from_config(config)
+    if total is not None and screen is not None:
+        total = total + screen["m"]
     bloomfilters = [
-        load_bloomfilter(f, config.get("m")) for f in bloomfilter_filepaths
+        load_bloomfilter(f, total) for f in bloomfilter_filepaths
     ]
     return BIGSI.build(config, bloomfilters, samples)
 
@@ -94,64 +102,49 @@ def build_main(config: dict, bloomfilter_filepaths, samples) -> BIGSI:
 SHARD_GROUP = 512  # samples per column shard (multiple of 32)
 
 
-def build_sharded(config: dict, bloom_paths, samples) -> dict:
-    """Streamed, fd- and memory-bounded build for very large N.
+def _shard_transpose_plane(
+    bloom_groups, num_rows: int, out_path: str, phase_name: str
+) -> int:
+    """Shard+merge one bit plane (classic rows or the screen half).
 
-    Pass 1: for each group of SHARD_GROUP blooms, stream-transpose its
-    column shard to ``shard_<g>.bin`` (uint32[m, group/32], row-major),
-    closing the blooms after the group.  Pass 2: concatenate the shards
-    along the word axis chunk-of-rows at a time into ``rows.bin`` and
-    register it with ``adopt_rows``.  Peak RAM is one transpose block +
-    one merge chunk; open fds peak at max(SHARD_GROUP, num_shards).
+    ``bloom_groups`` yields lists of bit sequences, one list per column
+    group; each group's column shard streams to ``out_path.shard<g>``
+    (uint32[num_rows, group/32]) and the shards word-concatenate into
+    ``out_path`` a chunk of rows at a time.  Returns the padded word
+    count W.  Peak RAM is one transpose block + one merge chunk; open
+    fds peak at max(group size, num shards).
     """
     import os
 
-    import numpy as np
-
-    from bigsi_tpu.graph.metadata import SampleMetadata
-    from bigsi_tpu.index.signature import (
-        BLOOMFILTER_SIZE_KEY,
-        LAYOUT_KEY,
-        NUM_HASH_FUNCTS_KEY,
-    )
     from bigsi_tpu.matrix.bitmatrix import (
         _padded_words,
         transpose_blooms_to_file,
     )
-    from bigsi_tpu.storage import get_storage
     from bigsi_tpu.utils.profiling import phase
 
-    n = len(samples)
-    m = config["m"]
-    storage = get_storage(config)
-    if not hasattr(storage, "rows_path"):
-        raise ValueError("sharded build needs a directory-backed index store")
-    rows_path = storage.rows_path()
     shard_paths = []
-    with phase("build.shards", log_level=logging.INFO):
-        for g0 in range(0, n, SHARD_GROUP):
-            g1 = min(g0 + SHARD_GROUP, n)
-            blooms = [
-                load_bloomfilter(p, m) for p in bloom_paths[g0:g1]
-            ]
-            sp = rows_path + ".shard%d" % (g0 // SHARD_GROUP)
-            transpose_blooms_to_file(blooms, m, sp, lane_words=1)
+    n = 0
+    with phase(phase_name + ".shards", log_level=logging.INFO):
+        for blooms in bloom_groups:
+            sp = out_path + ".shard%d" % len(shard_paths)
+            transpose_blooms_to_file(blooms, num_rows, sp, lane_words=1)
             shard_paths.append(sp)
+            n += len(blooms)
             del blooms  # munmap the group before opening the next
 
-    with phase("build.shard_merge", log_level=logging.INFO):
+    with phase(phase_name + ".shard_merge", log_level=logging.INFO):
         w_final = _padded_words(n)
         shard_w = [
-            os.path.getsize(sp) // (4 * m) for sp in shard_paths
+            os.path.getsize(sp) // (4 * num_rows) for sp in shard_paths
         ]
         maps = [
-            np.memmap(sp, dtype=np.uint32, mode="r", shape=(m, w))
+            np.memmap(sp, dtype=np.uint32, mode="r", shape=(num_rows, w))
             for sp, w in zip(shard_paths, shard_w)
         ]
         chunk = max(1024, (1 << 28) // (4 * w_final))
-        with open(rows_path + ".tmp", "wb") as f:
-            for r0 in range(0, m, chunk):
-                r1 = min(r0 + chunk, m)
+        with open(out_path + ".tmp", "wb") as f:
+            for r0 in range(0, num_rows, chunk):
+                r1 = min(r0 + chunk, num_rows)
                 block = np.zeros((r1 - r0, w_final), dtype=np.uint32)
                 w0 = 0
                 for mm, w in zip(maps, shard_w):
@@ -159,13 +152,70 @@ def build_sharded(config: dict, bloom_paths, samples) -> dict:
                     w0 += w
                 block.tofile(f)
         del maps
-        os.replace(rows_path + ".tmp", rows_path)
+        os.replace(out_path + ".tmp", out_path)
         for sp in shard_paths:
             os.unlink(sp)
+    return w_final
 
-    storage.kv.set_integer(BLOOMFILTER_SIZE_KEY, m)
-    storage.kv.set_integer(NUM_HASH_FUNCTS_KEY, config["h"])
-    storage.kv.set_string(LAYOUT_KEY, config.get("layout", "classic"))
+
+def build_sharded(config: dict, bloom_paths, samples) -> dict:
+    """Streamed, fd- and memory-bounded build for very large N.
+
+    Pass 1: for each group of SHARD_GROUP blooms, stream-transpose its
+    column shard (closing the blooms after the group); pass 2:
+    concatenate the shards along the word axis into ``rows.bin``
+    (see :func:`_shard_transpose_plane`).  Verified (``screen:``)
+    configs shard-build BOTH planes from the concatenated blooms.
+    Parameter persistence goes through the same
+    ``persist_index_params`` as every other build path, so the index
+    reopens with the exact layout/scheme/screen it was hashed with.
+    """
+    from bigsi_tpu.graph.metadata import SampleMetadata
+    from bigsi_tpu.hashing.scheme import default_slot_scheme
+    from bigsi_tpu.index.signature import _BitSlice, persist_index_params
+    from bigsi_tpu.index.verify import screen_params_from_config
+    from bigsi_tpu.storage import get_storage
+
+    if SHARD_GROUP % 32:
+        # shard words concatenate along the uint32 word axis — a group
+        # size off the 32-sample lane boundary would misalign columns
+        raise ValueError("SHARD_GROUP must be a multiple of 32")
+    n = len(samples)
+    m = config["m"]
+    layout = config.get("layout", "classic")
+    screen = screen_params_from_config(config)
+    total_bits = m + (screen["m"] if screen else 0)
+    storage = get_storage(config)
+    if not hasattr(storage, "rows_path"):
+        raise ValueError("sharded build needs a directory-backed index store")
+    # validate + write EVERY ksi:* key up front (a failed build leaves a
+    # delete_all-recoverable partial, SURVEY §5.3)
+    persist_index_params(
+        storage.kv, m, config["h"], layout=layout,
+        tile_rows=config.get("tile-rows", 32),
+        minimizer_window=config.get("minimizer-window"),
+        slot_scheme=default_slot_scheme(layout, config),
+        run_len=config.get("run-len"),
+        screen=screen,
+    )
+
+    def groups(start: int, nbits: int):
+        for g0 in range(0, n, SHARD_GROUP):
+            g1 = min(g0 + SHARD_GROUP, n)
+            yield [
+                _BitSlice(load_bloomfilter(p, total_bits), start, nbits)
+                for p in bloom_paths[g0:g1]
+            ]
+
+    w_final = _shard_transpose_plane(
+        groups(0, m), m, storage.rows_path(), "build"
+    )
+    if screen is not None:
+        sw = _shard_transpose_plane(
+            groups(m, screen["m"]), screen["m"], storage.screen_path(),
+            "build.screen",
+        )
+        storage.adopt_screen(num_rows=screen["m"], num_words=sw)
     SampleMetadata(storage.kv).add_samples(samples)
     storage.adopt_rows(num_rows=m, num_words=w_final, num_cols=n)
     storage.close()

@@ -83,6 +83,66 @@ SCREEN_SCHEME_KEY = "ksi:screen_scheme"
 SCREEN_RUN_LEN_KEY = "ksi:screen_run_len"
 
 
+def persist_index_params(
+    kv,
+    bloomfilter_size: int,
+    num_hashes: int,
+    layout: str = CLASSIC,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    minimizer_window: int | None = None,
+    slot_scheme: int | None = None,
+    run_len: int | None = None,
+    screen: dict | None = None,
+) -> None:
+    """Validate and write EVERY ``ksi:*`` parameter key for an index.
+
+    The single persistence point shared by :meth:`KmerSignatureIndex.create`
+    and the streamed builders (``cmds/build.py:build_sharded``) — a build
+    path that wrote only a subset of these keys would reopen with the
+    legacy defaults (e.g. slot_scheme v1 against v3-hashed blooms) and
+    silently return wrong results.
+    """
+    if screen is not None and layout != CLASSIC:
+        raise ValueError(
+            "a screened (verified) index keeps layout=classic; "
+            "got layout=%r" % layout
+        )
+    if layout not in LAYOUTS:
+        raise ValueError("unknown layout %r" % layout)
+    if tile_rows not in KNOWN_TILE_ROWS:
+        raise ValueError(
+            "tile_rows must be one of %s, got %r"
+            % (list(KNOWN_TILE_ROWS), tile_rows)
+        )
+    if slot_scheme is None:
+        from bigsi_tpu.hashing.scheme import default_slot_scheme
+
+        slot_scheme = default_slot_scheme(layout)
+    if slot_scheme not in SLOT_SCHEMES:
+        raise ValueError("unknown slot scheme %r" % slot_scheme)
+    kv.set_integer(BLOOMFILTER_SIZE_KEY, bloomfilter_size)
+    kv.set_integer(NUM_HASH_FUNCTS_KEY, num_hashes)
+    kv.set_string(LAYOUT_KEY, layout)
+    kv.set_integer(TILE_ROWS_KEY, tile_rows)
+    kv.set_integer(SLOT_SCHEME_KEY, int(slot_scheme))
+    if minimizer_window is not None:
+        kv.set_integer(MINIMIZER_WINDOW_KEY, int(minimizer_window))
+    if layout == "minimizer":
+        from bigsi_tpu.hashing.scheme import default_run_len
+
+        if run_len is None:
+            run_len = default_run_len(minimizer_window)
+        if run_len < 1:
+            raise ValueError("run_len must be >= 1, got %r" % run_len)
+        kv.set_integer(RUN_LEN_KEY, int(run_len))
+    if screen is not None:
+        kv.set_integer(SCREEN_M_KEY, int(screen["m"]))
+        kv.set_integer(SCREEN_TILE_ROWS_KEY, int(screen["tile_rows"]))
+        kv.set_integer(SCREEN_WINDOW_KEY, int(screen["window"]))
+        kv.set_integer(SCREEN_SCHEME_KEY, int(screen["slot_scheme"]))
+        kv.set_integer(SCREEN_RUN_LEN_KEY, int(screen["run_len"]))
+
+
 class _BitSlice:
     """Read-only bit window [start, start+n) over a bloom bit sequence
     (dense bool array or LazyBloomFile) — lets verified builds feed the
@@ -193,11 +253,6 @@ class KmerSignatureIndex:
             # verified build: each bloom is the CLASSIC bloom (m bits)
             # followed by the screen bloom (screen m bits); the main
             # layout is forced classic (rows.bin = reference semantics)
-            if layout != CLASSIC:
-                raise ValueError(
-                    "a screened (verified) index keeps layout=classic; "
-                    "got layout=%r" % layout
-                )
             total = bloomfilter_size + screen["m"]
             for bf in bloomfilters:
                 if len(bf) != total:
@@ -206,48 +261,12 @@ class KmerSignatureIndex:
                         "got %d (build blooms with the same 'screen' "
                         "config)" % (total, len(bf))
                     )
-        if layout not in LAYOUTS:
-            raise ValueError("unknown layout %r" % layout)
-        if tile_rows not in KNOWN_TILE_ROWS:
-            raise ValueError(
-                "tile_rows must be one of %s, got %r"
-                % (list(KNOWN_TILE_ROWS), tile_rows)
-            )
-        if slot_scheme is None:
-            from bigsi_tpu.hashing.scheme import default_slot_scheme
-
-            slot_scheme = default_slot_scheme(layout)
-        if slot_scheme not in SLOT_SCHEMES:
-            raise ValueError("unknown slot scheme %r" % slot_scheme)
-        storage.kv.set_integer(BLOOMFILTER_SIZE_KEY, bloomfilter_size)
-        storage.kv.set_integer(NUM_HASH_FUNCTS_KEY, num_hashes)
-        storage.kv.set_string(LAYOUT_KEY, layout)
-        storage.kv.set_integer(TILE_ROWS_KEY, tile_rows)
-        storage.kv.set_integer(SLOT_SCHEME_KEY, int(slot_scheme))
-        if minimizer_window is not None:
-            storage.kv.set_integer(
-                MINIMIZER_WINDOW_KEY, int(minimizer_window)
-            )
-        if layout == "minimizer":
-            from bigsi_tpu.hashing.scheme import default_run_len
-
-            if run_len is None:
-                run_len = default_run_len(minimizer_window)
-            if run_len < 1:
-                raise ValueError("run_len must be >= 1, got %r" % run_len)
-            storage.kv.set_integer(RUN_LEN_KEY, int(run_len))
+        persist_index_params(
+            storage.kv, bloomfilter_size, num_hashes, layout=layout,
+            tile_rows=tile_rows, minimizer_window=minimizer_window,
+            slot_scheme=slot_scheme, run_len=run_len, screen=screen,
+        )
         if screen is not None:
-            storage.kv.set_integer(SCREEN_M_KEY, int(screen["m"]))
-            storage.kv.set_integer(
-                SCREEN_TILE_ROWS_KEY, int(screen["tile_rows"])
-            )
-            storage.kv.set_integer(SCREEN_WINDOW_KEY, int(screen["window"]))
-            storage.kv.set_integer(
-                SCREEN_SCHEME_KEY, int(screen["slot_scheme"])
-            )
-            storage.kv.set_integer(
-                SCREEN_RUN_LEN_KEY, int(screen["run_len"])
-            )
             screen_parts = [
                 _BitSlice(bf, bloomfilter_size, screen["m"])
                 for bf in bloomfilters
