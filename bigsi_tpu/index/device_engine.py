@@ -232,6 +232,10 @@ class DeviceEngine:
             run_len = default_run_len(minimizer_window)
         self.run_len = run_len
         self.w = matrix.num_words
+        # per-length-bucket escalation state for counts_batch_seqs:
+        # {padded length lb: big-budget batches left before retrying
+        # the tight grouped-entry cap}
+        self._seq_cap_esc = {}
         self.cols = None
         if layout in ("blocked", "minimizer"):
             self.words = jax.device_put(
@@ -425,6 +429,9 @@ class DeviceEngine:
     # -- fused serving path (minimizer layout, slot scheme v2) ---------
 
     SERVE_CHUNK = 256  # queries per device dispatch in the fused path
+    # clean big-budget batches (per length bucket) before the tight
+    # grouped-entry cap is retried in counts_batch_seqs
+    SEQ_CAP_DECAY = 64
 
     def supports_kmer_batch(self) -> bool:
         """True when the fused ASCII-kmers-in counts path is available:
@@ -577,6 +584,14 @@ class DeviceEngine:
         cap = ((cap + 7) // 8) * 8
         return min(nk, cap)
 
+    @staticmethod
+    def _seq_u_tight(nk: int, window: int) -> int:
+        """First-try entry budget (~1.15x expected entries): most real
+        streams fit, and overflow costs one extra dispatch before the
+        safe ``_seq_u_cap`` budget re-runs the batch."""
+        expect = nk / max(1.0, (window + 1) / 2.0)
+        return min(nk, ((int(expect * 1.15) + 4 + 7) // 8) * 8)
+
     def counts_batch_seqs(
         self, seqs: np.ndarray, lens: np.ndarray, k: int, h: int,
         num_cols: int,
@@ -613,16 +628,19 @@ class DeviceEngine:
         padded, lens_b, lb, u_big = geom
         # the count kernel's gather AND compare work scale with u_cap,
         # so try a TIGHT budget first (~1.15x expected entries) and
-        # escalate to the safe one on overflow; escalation is sticky —
-        # a workload that once overflowed keeps the big budget instead
-        # of paying a wasted dispatch per batch
+        # escalate to the safe one on overflow.  Escalation is keyed by
+        # length bucket and DECAYS: one pathological batch pessimizes
+        # only its own bucket, and after SEQ_CAP_DECAY clean big-budget
+        # batches the tight budget is retried (bounded waste of one
+        # extra dispatch per decay window, vs. a permanently sticky
+        # flag that never recovered)
         nk = lb - k + 1
-        expect = nk / max(1.0, (window + 1) / 2.0)
-        u_small = min(nk, ((int(expect * 1.15) + 4 + 7) // 8) * 8)
+        u_small = self._seq_u_tight(nk, window)
+        esc = self._seq_cap_esc
+        remaining = esc.get(lb, 0)
         caps = (
             [u_big]
-            if getattr(self, "_seq_cap_escalated", False)
-            or u_small >= u_big
+            if remaining > 0 or u_small >= u_big
             else [u_small, u_big]
         )
         pd = jax.device_put(padded, self.device)
@@ -635,12 +653,14 @@ class DeviceEngine:
                 u_cap=cap, seed=MINIMIZER_SEED,
             )
             if bool(ok):
+                if cap == u_big and remaining > 0:
+                    esc[lb] = remaining - 1
                 return (
                     np.asarray(counts)[:b, :num_cols].astype(np.int64),
                     np.asarray(n_valid)[:b],
                 )
             if cap != u_big:
-                self._seq_cap_escalated = True
+                esc[lb] = self.SEQ_CAP_DECAY
         return None
 
     def _use_fused(self) -> bool:
