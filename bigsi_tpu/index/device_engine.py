@@ -28,23 +28,38 @@ from bigsi_tpu.ops.lookup import (
 
 _MIN_BUCKET = 64
 
+# long-query guards for the bytes-to-counts path: hard NK ceiling, and
+# a B*NK^2 budget matching the round-4 worst case (256 queries x 1024
+# kmers) so lifting the length cap never admits MORE quadratic work
+SEQ_MAX_NK = 4096
+SEQ_QUAD_WORK_BUDGET = 256 * 1024 * 1024
+
 
 def seq_batch_geometry(seqs, lens, k: int, window: int, db: int = 1):
     """Shared bucketing/guards for every engine's ``counts_batch_seqs``
     (device / mesh / distributed use the SAME rules so tuning changes
     land once): 64-byte length buckets, pow2 batch bucket rounded to a
-    multiple of ``db`` (the mesh batch axis), the O(NK^2) long-query
-    guard, and the grouped-entry budget.  Returns None when the batch
-    must take a host path, else (padded uint8[BB, LB], lens int32[BB],
-    lb, u_cap)."""
+    multiple of ``db`` (the mesh batch axis), the quadratic-work
+    long-query guard, and the grouped-entry budget.  Returns None when
+    the batch must take a host path, else (padded uint8[BB, LB],
+    lens int32[BB], lb, u_cap)."""
     b, l = seqs.shape
     lb = max(k, ((l + 63) // 64) * 64)
-    if lb - k + 1 > 1024:  # device dup pass is O(NK^2) per query
-        return None
     bb = 8
     while bb < b:
         bb *= 2
     bb = -(-bb // db) * db
+    nk = lb - k + 1
+    # the device prep's dup + stream-build passes are O(B * NK^2); the
+    # chunked formulation (ops/prep_jax.py PREP_CHUNK) bounds their
+    # MEMORY, and this bounds their TIME: any batch under ~1 kb queries
+    # stays allowed (the round-4 envelope), longer queries up to
+    # SEQ_MAX_NK ride the device path when the batch is small enough
+    # that the quadratic work stays within that same envelope
+    if nk > SEQ_MAX_NK:
+        return None
+    if nk > 1024 and bb * nk * nk > SEQ_QUAD_WORK_BUDGET:
+        return None
     padded = np.full((bb, lb), ord("A"), dtype=np.uint8)
     padded[:b, :l] = seqs
     lens_b = np.zeros(bb, dtype=np.int32)

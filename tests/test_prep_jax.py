@@ -284,3 +284,46 @@ def test_device_prep_randomized_parity_sweep():
             )
         )
         assert np.array_equal(got, want), (trial, k, window, tr, r)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib required")
+def test_device_prep_long_queries_chunked_parity():
+    """Queries past PREP_CHUNK k-mers (the old 1024 hard cap): the
+    chunked dup/stream passes must still match the native prep exactly.
+    Dup-free streams (native compacts dup slots, the device zeroes them
+    in place — identical counts, different raw streams; the dup case is
+    covered at count level in test_seq_batch_device)."""
+    from bigsi_tpu.index.device_engine import DeviceEngine
+
+    rng = np.random.default_rng(17)
+    b, k, h, tr, window, r = 2, 31, 3, 16, 19, 20
+    l = 2500  # nk = 2470: spans three PREP_CHUNK=1024 chunks
+    s = k - window + 1
+    num_tiles = 1_562_500
+    seqs = _rand_seqs(rng, b, l)
+    lens = np.full(b, l, dtype=np.int32)
+    lens[1] = 1800
+    seqs[1, lens[1]:] = ord("A")
+
+    flat = np.concatenate([seqs[i, : lens[i]] for i in range(b)])
+    sstart = np.zeros(b + 1, dtype=np.int64)
+    np.cumsum([int(x) for x in lens], out=sstart[1:])
+    want = native.prep_minimizer_v3_seqs(
+        flat, sstart, k, s, MINIMIZER_SEED, num_tiles, h, tr, r
+    )
+    assert want is not None
+    wu, wg, wn = want
+
+    nk = l - k + 1
+    u_cap = DeviceEngine._seq_u_cap(nk, window)
+    utile, gmask, n_valid, ok = prep_streams_device(
+        seqs, lens, k=k, s=s, num_tiles=num_tiles, h=h, tile_rows=tr,
+        r=r, u_cap=u_cap, seed=MINIMIZER_SEED,
+    )
+    utile, gmask, n_valid = map(np.asarray, (utile, gmask, n_valid))
+    assert bool(ok)
+    assert np.array_equal(n_valid, wn)
+    u = wu.shape[1]
+    assert u <= u_cap
+    assert np.array_equal(utile[:, :u], wu)
+    assert np.array_equal(gmask[:, :u], wg)

