@@ -55,6 +55,51 @@ OP_GROUPED = 3
 OP_SEQS = 4  # raw query bytes; prep runs ON DEVICE (ops/prep_jax.py)
 
 
+def _split_buffer(buf: np.ndarray, specs):
+    """Slice one uint8 buffer back into arrays of ``specs``
+    [(shape, dtype), ...]."""
+    outs, off = [], 0
+    for sh, dt in specs:
+        nb = int(np.prod(sh)) * np.dtype(dt).itemsize
+        outs.append(buf[off : off + nb].view(dt).reshape(sh))
+        off += nb
+    return outs
+
+
+def _bcast_arrays(arrays):
+    """Host 0: broadcast several arrays as ONE uint8 buffer.
+
+    Each ``broadcast_one_to_all`` is a full collective round trip
+    (~3-5 ms on the gloo loopback emulation), so a dispatch that sent
+    header + index + mask as three legs paid the conversation cost
+    three times; coalescing the payload halves the measured
+    per-dispatch overhead (scripts/distributed_serving_bench.py).
+    """
+    from jax.experimental import multihost_utils
+
+    buf = np.concatenate(
+        [
+            np.ascontiguousarray(a).reshape(-1).view(np.uint8)
+            for a in arrays
+        ]
+    )
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return _split_buffer(out, [(a.shape, a.dtype) for a in arrays])
+
+
+def _recv_arrays(specs):
+    """Worker side of :func:`_bcast_arrays`: same buffer shape, zeros."""
+    from jax.experimental import multihost_utils
+
+    total = sum(
+        int(np.prod(sh)) * np.dtype(dt).itemsize for sh, dt in specs
+    )
+    out = np.asarray(
+        multihost_utils.broadcast_one_to_all(np.zeros(total, np.uint8))
+    )
+    return _split_buffer(out, specs)
+
+
 def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -268,7 +313,18 @@ class DistributedQueryService:
 
     def _step(self, h: int):
         if h not in self._steps:
-            self._steps[h] = make_sharded_query_step(self.mesh, h)
+            base = make_sharded_query_step(self.mesh, h)
+
+            # pack (counts int[B, W*32], exact uint32[B, W]) into ONE
+            # [B, W*32 + W] array: result assembly becomes a single
+            # process_allgather leg (the exact words bitcast losslessly
+            # into the count dtype)
+            def packed(words, idx, mask):
+                counts, exact = base(words, idx, mask)
+                ex = jax.lax.bitcast_convert_type(exact, counts.dtype)
+                return jnp.concatenate([counts, ex], axis=1)
+
+            self._steps[h] = jax.jit(packed)
         return self._steps[h]
 
     def _presence_step(self, h: int):
@@ -414,8 +470,7 @@ class DistributedQueryService:
         with self._lock:
             hdr = np.array([OP_GROUPED, bb, u, r], np.int32)
             multihost_utils.broadcast_one_to_all(hdr)
-            pu = np.asarray(multihost_utils.broadcast_one_to_all(pu))
-            pg = np.asarray(multihost_utils.broadcast_one_to_all(pg))
+            pu, pg = _bcast_arrays([pu, pg])
             counts = self._run_grouped(pu, pg)
         return counts[:b]
 
@@ -479,7 +534,7 @@ class DistributedQueryService:
                 or default_minimizer_s(k)
             )
             window = k - s_mer + 1
-            self._seq_steps[key] = make_sharded_seq_step(
+            base = make_sharded_seq_step(
                 gmesh,
                 k=k, s=s_mer, num_tiles=max(1, self.m // self.tile_rows),
                 h=h, tile_rows=self.tile_rows,
@@ -487,6 +542,23 @@ class DistributedQueryService:
                 u_cap=DeviceEngine._seq_u_cap(lb - k + 1, window),
                 seed=MINIMIZER_SEED,
             )
+
+            # pack (counts, n_valid, ok) into ONE [B, N+2] array so the
+            # host-level result assembly is a single process_allgather
+            # leg instead of three (n_valid <= NK < 2^15 fits any count
+            # dtype; ok reduces on device)
+            def packed(cols, q, l):
+                counts, n_valid, ok = base(cols, q, l)
+                okcol = jnp.broadcast_to(
+                    jnp.all(ok).astype(counts.dtype),
+                    (counts.shape[0], 1),
+                )
+                return jnp.concatenate(
+                    [counts, n_valid[:, None].astype(counts.dtype), okcol],
+                    axis=1,
+                )
+
+            self._seq_steps[key] = jax.jit(packed)
         return self._seq_steps[key]
 
     def _run_seqs(self, seqs: np.ndarray, lens: np.ndarray, k: int, h: int):
@@ -502,12 +574,12 @@ class DistributedQueryService:
         l_g = jax.make_array_from_process_local_data(
             sh_l, _slice_for_process(lens, gmesh, (AXIS_BATCH,))
         )
-        counts, n_valid, ok = step(cols3, q_g, l_g)
-        counts = multihost_utils.process_allgather(counts, tiled=True)
-        n_valid = multihost_utils.process_allgather(n_valid, tiled=True)
-        ok = multihost_utils.process_allgather(ok, tiled=True)
-        return np.asarray(counts), np.asarray(n_valid), bool(
-            np.asarray(ok).all()
+        out = step(cols3, q_g, l_g)
+        out = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+        return (
+            np.ascontiguousarray(out[:, :-2]),
+            out[:, -2].astype(np.int32),
+            bool(out[:, -1].all()),
         )
 
     def query_seqs(self, seqs: np.ndarray, lens: np.ndarray, k: int, h: int):
@@ -532,8 +604,7 @@ class DistributedQueryService:
         with self._lock:
             hdr = np.array([OP_SEQS, bb, l, (k << 8) | h], np.int32)
             multihost_utils.broadcast_one_to_all(hdr)
-            pq = np.asarray(multihost_utils.broadcast_one_to_all(pq))
-            pl = np.asarray(multihost_utils.broadcast_one_to_all(pl))
+            pq, pl = _bcast_arrays([pq, pl])
             counts, n_valid, ok = self._run_seqs(pq, pl, k, h)
         if not ok:
             return None
@@ -564,11 +635,13 @@ class DistributedQueryService:
         mask_g = jax.make_array_from_process_local_data(
             sh_mask, _slice_for_process(pmask, self.mesh, (AXIS_BATCH, AXIS_KMERS))
         )
-        counts, exact = self._step(pidx.shape[2])(self.words, idx_g, mask_g)
+        out = self._step(pidx.shape[2])(self.words, idx_g, mask_g)
         # result assembly: replicate to every process, host 0 reads it
-        counts = multihost_utils.process_allgather(counts, tiled=True)
-        exact = multihost_utils.process_allgather(exact, tiled=True)
-        return np.asarray(counts), np.asarray(exact)
+        out = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+        w = self.words.shape[1]
+        counts = np.ascontiguousarray(out[:, : w * 32])
+        exact = np.ascontiguousarray(out[:, w * 32 :]).view(np.uint32)
+        return counts, exact
 
     # -- host 0 ----------------------------------------------------------
 
@@ -584,8 +657,7 @@ class DistributedQueryService:
                 [OP_QUERY, pidx.shape[0], pidx.shape[1], h], np.int32
             )
             multihost_utils.broadcast_one_to_all(hdr)
-            pidx = np.asarray(multihost_utils.broadcast_one_to_all(pidx))
-            pmask = np.asarray(multihost_utils.broadcast_one_to_all(pmask))
+            pidx, pmask = _bcast_arrays([pidx, pmask])
             counts, exact = self._run(pidx, pmask)
         return counts[:b], exact[:b]
 
@@ -641,30 +713,16 @@ class DistributedQueryService:
                 return
             bb, kb, h = int(hdr[1]), int(hdr[2]), int(hdr[3])
             if hdr[0] == OP_GROUPED:
-                pu = np.asarray(
-                    multihost_utils.broadcast_one_to_all(
-                        np.zeros((bb, kb), np.int32)
-                    )
-                )
-                pg = np.asarray(
-                    multihost_utils.broadcast_one_to_all(
-                        np.zeros((bb, kb, h), np.uint32)
-                    )
+                pu, pg = _recv_arrays(
+                    [((bb, kb), np.int32), ((bb, kb, h), np.uint32)]
                 )
                 self._run_grouped(pu, pg)
                 continue
             if hdr[0] == OP_SEQS:
                 # bb, kb=L, h packs (k << 8) | h
                 kk, hh = int(hdr[3]) >> 8, int(hdr[3]) & 0xFF
-                pq = np.asarray(
-                    multihost_utils.broadcast_one_to_all(
-                        np.zeros((bb, kb), np.uint8)
-                    )
-                )
-                pl = np.asarray(
-                    multihost_utils.broadcast_one_to_all(
-                        np.zeros(bb, np.int32)
-                    )
+                pq, pl = _recv_arrays(
+                    [((bb, kb), np.uint8), ((bb,), np.int32)]
                 )
                 self._run_seqs(pq, pl, kk, hh)
                 continue
@@ -676,15 +734,8 @@ class DistributedQueryService:
                 )
                 self._run_presence(pidx)
                 continue
-            pidx = np.asarray(
-                multihost_utils.broadcast_one_to_all(
-                    np.zeros((bb, kb, h), np.int32)
-                )
-            )
-            pmask = np.asarray(
-                multihost_utils.broadcast_one_to_all(
-                    np.zeros((bb, kb), bool)
-                )
+            pidx, pmask = _recv_arrays(
+                [((bb, kb, h), np.int32), ((bb, kb), bool)]
             )
             self._run(pidx, pmask)
 
