@@ -202,8 +202,26 @@ def main():
     sys.path.insert(0, "/root/repo")
     device_healthy = _wait_for_device()
     _arm_deadline()
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compile cache (VERDICT r4 next-2): validated through
+    # the axon relay 2026-08-21 (two-process probe: 158 s cold compile
+    # -> 0.77 s warm).  The repo ships a populated cache, so the
+    # official capture's compiles are near-instant — shrinking both the
+    # wedge-exposure window and the distressed-relay variance that cost
+    # round 4 its headline.
+    cache_dir = os.environ.get(
+        "BIGSI_TPU_JAX_CACHE", "/root/repo/.jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:  # noqa: BLE001 — cache is an optimization
+        print("compile cache unavailable: %s" % e, file=sys.stderr)
 
     from bigsi_tpu import native
     from bigsi_tpu.hashing.murmur3 import hash_kmer_matrix
@@ -236,6 +254,13 @@ def main():
     rng = np.random.default_rng(0)
     _PARTIAL["rows"] = B * K * H
 
+    # per-config spread capture (VERDICT r4 next-8): every marginal
+    # estimate observed for a label across the run (first measure,
+    # re-measure, idle re-measure, and each repeat within them) — the
+    # JSON reports min/median/max so cross-round comparisons see the
+    # session variance instead of a single draw
+    _SPREAD = {}
+
     def timed(fn, args):
         out = fn(*args)
         np.asarray(out)[0]  # compile + warm (relay-safe sync)
@@ -245,17 +270,21 @@ def main():
             out = fn(*args)
             np.asarray(out)[0]
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        return min(ts), ts
 
     def marginal(make, label=""):
         if label:
             print("bench: measuring %s" % label, file=sys.stderr, flush=True)
         f1, a1 = make(1)
         fn, an = make(CHAIN)
-        t1 = timed(f1, a1)
-        tn = timed(fn, an)
+        t1, _ = timed(f1, a1)
+        tn, tns = timed(fn, an)
         dt = max((tn - t1) / (CHAIN - 1), 1e-9)
         if label:
+            base = label.split(" (")[0]  # merge re/idle measures
+            _SPREAD.setdefault(base, []).extend(
+                max((t - t1) / (CHAIN - 1), 1e-9) for t in tns
+            )
             print(
                 "bench: %s = %.3f ms/step" % (label, dt * 1e3),
                 file=sys.stderr,
@@ -264,6 +293,7 @@ def main():
             name = {
                 "cols16-w19": "minimizer16-w19",
                 "cols16-w19 (re)": "minimizer16-w19",
+                "cols16-w19 (idle)": "minimizer16-w19",
                 "cols16-w11": "minimizer16",
                 "grouped32": "minimizer32",
                 "blocked16-cols": "blocked16",
@@ -598,6 +628,15 @@ def main():
     # runs (docs/ROADMAP.md round-4 notes) — report the best placement.
     dt_cols19 = min(dt_cols19, try_marginal(make_cols19, "cols16-w19 (re)"))
     dt_seqstep = min(dt_seqstep, try_marginal(make_seqstep, "seq-step (re)"))
+    # measure-after-idle: relay/HBM session state decays over tens of
+    # seconds (BASELINE.md variance notes) — one more placement after a
+    # short quiet period catches the recovered state when a mid-run
+    # co-tenant or relay wobble depressed the earlier draws
+    if device_healthy and on_tpu:
+        time.sleep(20)
+        dt_cols19 = min(
+            dt_cols19, try_marginal(make_cols19, "cols16-w19 (idle)")
+        )
 
 
     # ---- serving host side (fused native prep; see DeviceEngine.
@@ -722,6 +761,18 @@ def main():
         "serving_mode": serve_mode,
         "verified_qps": round(verified_qps, 1),
         "blocked16_rows_per_s": round(rows / dt_blocked_cols, 1),
+        # per-config session spread (ms/step): all marginal estimates
+        # observed across first/re/idle measures — a tight spread means
+        # the headline is a stable capture, not a lucky draw
+        "spread_ms": {
+            lbl: {
+                "min": round(min(v) * 1e3, 3),
+                "median": round(float(np.median(v)) * 1e3, 3),
+                "max": round(max(v) * 1e3, 3),
+                "n": len(v),
+            }
+            for lbl, v in sorted(_SPREAD.items())
+        },
     }
     for n_wide, dt in wide_n.items():
         out["wide_n_%d_rows_per_s" % n_wide] = (
