@@ -109,6 +109,25 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         )
         self.min_unique_kmers_in_query = MIN_UNIQUE_KMERS_IN_QUERY
         self.scorer = Scorer(self.num_samples)
+        # verified indexes: stage the classic matrix into device HBM
+        # for the verify pass when it fits (VERDICT r4 next-1) — the
+        # host pass is DRAM-latency bound, the device one rides the
+        # same gather the classic counts path uses.  "verify-device":
+        # true forces it, false disables, absent = auto (tpu engine +
+        # matrix under verify-device-max-bytes, default 4 GiB).
+        self.verifier = None
+        if self.screen is not None:
+            want = config.get("verify-device")
+            size_ok = (
+                self.bitmatrix.words.nbytes
+                <= int(config.get("verify-device-max-bytes", 4 << 30))
+            )
+            if want is True or (
+                want is None and config.get("engine") == "tpu" and size_ok
+            ):
+                from bigsi_tpu.index.device_engine import DeviceVerifier
+
+                self.verifier = DeviceVerifier(self.bitmatrix)
 
     @property
     def kmer_size(self):
@@ -431,6 +450,9 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         scounts = self.screen_engine.counts(packed, self.bitmatrix.num_cols)
         cand = self._screen_candidates(scounts, num_kmers, min_kmers)
         c_idx = self.kmer_matrix_to_row_idx(uniq)  # classic rows
+        # single query: the host pass wins (a device dispatch costs
+        # ~26 ms through the relay); the device verifier earns its keep
+        # in _verified_batch where it overlaps a host slice
         vcounts = classic_counts_for_colours(
             self.bitmatrix.words, c_idx, cand
         )
@@ -497,7 +519,14 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
                 else None
             )
         with phase("search.verify"):
-            vcounts = verify_queries(self.bitmatrix.words, c_idxs, cands)
+            if self.verifier is not None:
+                from bigsi_tpu.index.verify import split_verify_queries
+
+                vcounts = split_verify_queries(
+                    self.bitmatrix.words, c_idxs, cands, self.verifier
+                )
+            else:
+                vcounts = verify_queries(self.bitmatrix.words, c_idxs, cands)
         out = []
         for i in range(b):
             if nks[i] == 0:
@@ -644,11 +673,25 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         assert self.minimizer_window == bigsi.minimizer_window
         assert self.slot_scheme == bigsi.slot_scheme
 
+    def _refresh_verifier(self) -> None:
+        """Re-stage the classic matrix after a mutation swapped it
+        (compact/merge) — a stale HBM copy would silently drop the new
+        columns from verification."""
+        if self.verifier is not None:
+            from bigsi_tpu.index.device_engine import DeviceVerifier
+
+            self.verifier = DeviceVerifier(self.bitmatrix)
+
+    def compact(self) -> None:
+        KmerSignatureIndex.compact(self)
+        self._refresh_verifier()
+
     def merge(self, bigsi):
         self.__validate_merge(bigsi)
         self.merge_indexes(bigsi)
         self.merge_metadata(bigsi)
         self.storage.sync()
+        self._refresh_verifier()
 
     def __validate_search_query(self, seq):
         kmers = set()

@@ -701,6 +701,90 @@ class DeviceEngine:
         )
 
 
+class DeviceVerifier:
+    """HBM-resident classic matrix for the VERIFY stage of two-stage
+    search (VERDICT r4 next-1).
+
+    The host verify pass (native ``and_count_words_batch``) is
+    DRAM-latency bound (~11-15 ms per 256x512x3 batch at 8 cand/query
+    on this 2-vCPU host; hugepage and deeper-prefetch variants measured
+    within ~8% — scripts/probe_verify_host.py / microexp).  Keeping
+    rows.bin fat-packed in spare HBM runs the same gather+AND+count on
+    the device.  Formulation note (measured on chip,
+    scripts/probe_verify_device.py): a candidate-restricted popcount
+    via one-hot word selection costs MORE than counting every word
+    (23.0 vs 17.3 ms — the [B,K,W,C] selection work dwarfs the csa it
+    saves), so the device pass is exactly the classic batched counts
+    program (``_counts_batch_fat``) with candidate colours sliced out
+    host-side from the [B, W*32] result.  Standalone the device pass is
+    therefore slower than the host one on this machine — its value is
+    (a) ``counts_async``, which OVERLAPS a device verify with the host
+    pass on a disjoint query slice (``verify.split_verify_queries``),
+    and (b) hosts whose DRAM MLP is even weaker relative to their
+    chips.  Same result contract as
+    :func:`bigsi_tpu.index.verify.verify_queries`.
+    """
+
+    def __init__(self, matrix: BitSliceMatrix, device=None):
+        self.matrix = matrix
+        self.device = device or jax.devices()[0]
+        fat, self.g = fat_pack(np.asarray(matrix.words))
+        self.words = jax.device_put(fat, self.device)
+        self.w = matrix.num_words
+
+    def counts_async(self, row_idx_list, cand_list):
+        """Dispatch the verify batch; returns a resolver callable.
+
+        The device program is dispatched asynchronously (jax arrays are
+        futures), so the caller can run host-side verification of OTHER
+        queries while this computes; calling the resolver synchronizes
+        and returns the per-query int64 count arrays (contract of
+        ``verify_queries``)."""
+        b = len(cand_list)
+        out = [np.zeros(0, dtype=np.int64)] * b
+        live = [
+            i
+            for i in range(b)
+            if cand_list[i] is not None
+            and len(cand_list[i])
+            and row_idx_list[i] is not None
+            and len(row_idx_list[i])
+        ]
+        if not live:
+            return lambda: out
+        h = row_idx_list[live[0]].shape[1]
+        kmax = bucket_size(max(row_idx_list[i].shape[0] for i in live))
+        bb = 8
+        while bb < len(live):
+            bb *= 2
+        idx = np.zeros((bb, kmax, h), dtype=np.int32)
+        mask = np.zeros((bb, kmax), dtype=bool)
+        for j, i in enumerate(live):
+            nk = row_idx_list[i].shape[0]
+            idx[j, :nk] = row_idx_list[i]
+            mask[j, :nk] = True
+        counts = _counts_batch_fat(
+            self.words,
+            jax.device_put(idx, self.device),
+            jax.device_put(mask, self.device),
+            self.g,
+            self.w,
+        )  # async dispatch — [BB, W*32] int32 future
+
+        def resolve():
+            host_counts = np.asarray(counts)
+            for j, i in enumerate(live):
+                colours = np.asarray(cand_list[i], dtype=np.int64)
+                out[i] = host_counts[j, colours].astype(np.int64)
+            return out
+
+        return resolve
+
+    def counts(self, row_idx_list, cand_list) -> list:
+        """Synchronous form of :meth:`counts_async`."""
+        return self.counts_async(row_idx_list, cand_list)()
+
+
 class _PackedQuery:
     """Device presence rows for one query's (bucketed) k-mer batch."""
 

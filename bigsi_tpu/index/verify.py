@@ -144,6 +144,94 @@ def _and_count_words_numpy(words, row_idx, word_ids) -> np.ndarray:
     return bits.sum(axis=0, dtype=np.int64).reshape(-1)
 
 
+def split_verify_queries(
+    words: np.ndarray,
+    row_idx_list: list,
+    cand_list: list,
+    verifier,
+) -> list:
+    """Overlapped host+device verification (VERDICT r4 next-1).
+
+    The host pass (native, DRAM-MLP bound) and the device pass (gather
+    issue-rate bound) use DISJOINT resources, so splitting the live
+    queries and running both concurrently beats either alone: the
+    device slice is dispatched async (jax arrays are futures), the
+    host slice runs meanwhile, then the device result is resolved.
+    The split fraction adapts from the measured per-call rates
+    (stored on the verifier), so the ratio tracks whatever the
+    hardware pair actually delivers.
+    """
+    import os
+    import time
+
+    use_native = not os.environ.get("BIGSI_TPU_NO_NATIVE")
+    if verifier is None or not use_native:
+        if verifier is not None:
+            return verifier.counts(row_idx_list, cand_list)
+        return verify_queries(words, row_idx_list, cand_list)
+    b = len(cand_list)
+    live = [
+        i
+        for i in range(b)
+        if cand_list[i] is not None
+        and len(cand_list[i])
+        and row_idx_list[i] is not None
+        and len(row_idx_list[i])
+    ]
+    if len(live) < 8:  # dispatch overhead dominates tiny batches
+        return verify_queries(words, row_idx_list, cand_list)
+    # the fraction may adapt all the way to 0 (host-only): through this
+    # environment's tunneled relay the per-batch host<->device
+    # transfers alone cost ~5-8x the host pass
+    # (scripts/probe_verify_device.py), so the device slice is a pure
+    # loss there; a periodic re-probe keeps the door open for hardware
+    # where the device side wins
+    frac = getattr(verifier, "split_fraction", 0.40)
+    calls = getattr(verifier, "_split_calls", 0)
+    verifier._split_calls = calls + 1
+    if frac < 0.05 and calls % 32 != 31:
+        return verify_queries(words, row_idx_list, cand_list)
+    if frac < 0.05:
+        frac = 0.15  # re-probe draw
+    nd = int(round(len(live) * frac))
+    if nd == 0 or nd == len(live):
+        return verify_queries(words, row_idx_list, cand_list)
+    dev_set = set(live[:nd])
+
+    def side(keep):
+        return (
+            [
+                row_idx_list[i] if (i in dev_set) == keep else None
+                for i in range(b)
+            ],
+            [
+                cand_list[i] if (i in dev_set) == keep else None
+                for i in range(b)
+            ],
+        )
+
+    d_idx, d_cand = side(True)
+    h_idx, h_cand = side(False)
+    t0 = time.perf_counter()
+    resolve = verifier.counts_async(d_idx, d_cand)
+    host_out = verify_queries(words, h_idx, h_cand)
+    t_host = time.perf_counter() - t0
+    dev_out = resolve()
+    t_total = time.perf_counter() - t0
+    # adapt: per-query rates from this call (device time includes the
+    # host-overlapped window; only the excess beyond the host pass is
+    # the device's marginal cost when it is the straggler)
+    nh = len(live) - nd
+    r_host = nh / max(t_host, 1e-6)
+    r_dev = nd / max(t_total if t_total > t_host * 1.05 else t_host, 1e-6)
+    new_frac = r_dev / max(r_dev + r_host, 1e-6)
+    blended = 0.5 * frac + 0.5 * new_frac
+    verifier.split_fraction = 0.0 if blended < 0.08 else min(0.9, blended)
+    return [
+        dev_out[i] if i in dev_set else host_out[i] for i in range(b)
+    ]
+
+
 def verify_queries(
     words: np.ndarray,
     row_idx_list: list,
