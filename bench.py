@@ -749,7 +749,7 @@ def main():
                     words_v, idx_list, cand_list, verifier
                 )
 
-            for _ in range(3):  # adapt the split fraction
+            for _ in range(6):  # let the split fraction converge
                 split_pass()
             verify_split_ms = time_host(split_pass, reps=3)
         except Exception as e:  # noqa: BLE001 — keep the host number
