@@ -55,6 +55,134 @@ OP_GROUPED = 3
 OP_SEQS = 4  # raw query bytes; prep runs ON DEVICE (ops/prep_jax.py)
 
 
+_COORDINATOR = None  # "host:port" captured by initialize()
+
+
+def _send_msg(sock, obj) -> None:
+    import pickle
+    import struct
+
+    data = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    sock.sendall(struct.pack("<Q", len(data)) + data)
+
+
+def _recv_msg(sock):
+    import pickle
+    import struct
+
+    def recvn(n):
+        buf = bytearray()
+        while len(buf) < n:
+            part = sock.recv(n - len(buf))
+            if not part:
+                raise ConnectionError("control-plane peer closed")
+            buf.extend(part)
+        return bytes(buf)
+
+    (n,) = struct.unpack("<Q", recvn(8))
+    return pickle.loads(recvn(n))
+
+
+def _control_endpoint():
+    """(host, port) of the TCP control plane, derived from the
+    coordinator address (port + 1000) unless overridden via
+    BIGSI_TPU_CONTROL_PORT.  None disables (BIGSI_TPU_NO_CONTROL_PLANE
+    or no known coordinator)."""
+    if os.environ.get("BIGSI_TPU_NO_CONTROL_PLANE"):
+        return None
+    coord = _COORDINATOR or os.environ.get("BIGSI_TPU_COORDINATOR")
+    if not coord or ":" not in coord:
+        return None
+    host, port = coord.rsplit(":", 1)
+    try:
+        port = int(os.environ.get("BIGSI_TPU_CONTROL_PORT", int(port) + 1000))
+    except ValueError:
+        return None
+    return host, port
+
+
+class _ControlPlane:
+    """Host-0 side of the TCP control plane (VERDICT r4 next-6, second
+    round): pushes each dispatch's header+payload to every worker and
+    receives their result shards back over plain sockets, so the only
+    collective left per dispatch is the compiled step's own in-program
+    one.  This is the shape real pod frontends take — RPC for
+    control/data distribution, XLA collectives inside the program —
+    and on the gloo loopback emulation it removes the 3 x ~3.4 ms
+    host-level legs entirely."""
+
+    def __init__(self, endpoint, n_workers: int):
+        import socket
+        import threading
+
+        self.n_workers = n_workers
+        self.socks = []
+        self._lock = threading.Lock()
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind(("0.0.0.0", endpoint[1]))
+        self._srv.listen(n_workers)
+
+        def accept_loop():
+            while len(self.socks) < n_workers:
+                try:
+                    sock, _ = self._srv.accept()
+                except OSError:
+                    return
+                sock.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
+                )
+                hello = _recv_msg(sock)
+                assert hello.get("hello") is not None
+                with self._lock:
+                    self.socks.append(sock)
+
+        t = threading.Thread(target=accept_loop, daemon=True)
+        t.start()
+
+    def wait_ready(self, timeout: float = 60.0) -> bool:
+        import time as _t
+
+        deadline = _t.monotonic() + timeout
+        while _t.monotonic() < deadline:
+            if len(self.socks) >= self.n_workers:
+                return True
+            _t.sleep(0.01)
+        return False
+
+    def send_all(self, msg) -> None:
+        for sock in self.socks:
+            _send_msg(sock, msg)
+
+    def close(self) -> None:
+        for sock in self.socks:
+            try:
+                sock.close()
+            except OSError:
+                pass
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+
+def _connect_control(endpoint, retry_s: float = 15.0):
+    """Worker side: connect to host 0's control plane, or None."""
+    import socket
+    import time as _t
+
+    deadline = _t.monotonic() + retry_s
+    while _t.monotonic() < deadline:
+        try:
+            sock = socket.create_connection(endpoint, timeout=2.0)
+            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            _send_msg(sock, {"hello": jax.process_index()})
+            return sock
+        except OSError:
+            _t.sleep(0.2)
+    return None
+
+
 def _split_buffer(buf: np.ndarray, specs):
     """Slice one uint8 buffer back into arrays of ``specs``
     [(shape, dtype), ...]."""
@@ -119,6 +247,8 @@ def initialize(
         num_processes = int(os.environ["BIGSI_TPU_NUM_PROCESSES"])
     if process_id is None and os.environ.get("BIGSI_TPU_PROCESS_ID"):
         process_id = int(os.environ["BIGSI_TPU_PROCESS_ID"])
+    global _COORDINATOR
+    _COORDINATOR = coordinator_address
     if jax.config.jax_platforms == "cpu" or (
         os.environ.get("JAX_PLATFORMS") == "cpu"
     ):
@@ -310,6 +440,67 @@ class DistributedQueryService:
         import threading
 
         self._lock = threading.Lock()
+        # TCP control plane (host 0 binds now; workers connect when
+        # run_worker_loop starts; dispatches fall back to the gloo legs
+        # if it never comes up)
+        self._ctrl = None
+        self._ctrl_ready = False
+        self._wsock = None
+        endpoint = _control_endpoint()
+        if endpoint is not None and jax.process_count() > 1:
+            if jax.process_index() == 0:
+                try:
+                    self._ctrl = _ControlPlane(
+                        endpoint, jax.process_count() - 1
+                    )
+                except OSError as e:
+                    logger.warning("control plane bind failed: %s", e)
+                    self._ctrl = None
+
+    def _ctrl_ok(self) -> bool:
+        """True when every worker is connected to the control plane
+        (first dispatch waits for the fleet; later calls are free)."""
+        if self._ctrl is None:
+            return False
+        if not self._ctrl_ready:
+            self._ctrl_ready = self._ctrl.wait_ready()
+            if not self._ctrl_ready:
+                logger.warning(
+                    "control plane: workers never connected; using the "
+                    "gloo broadcast legs"
+                )
+                self._ctrl.close()
+                self._ctrl = None
+                return False
+        return True
+
+    def _finish(self, arr):
+        """Assemble a sharded step output as a full numpy array on
+        host 0.  Control-plane mode: host fills its own addressable
+        shards and receives the workers' (index, data) shard lists —
+        one socket message per worker per dispatch; workers send theirs
+        and return None.  Legacy mode: replicating process_allgather on
+        every process."""
+        if self._wsock is not None:
+            _send_msg(
+                self._wsock,
+                [
+                    (s.index, np.asarray(s.data))
+                    for s in arr.addressable_shards
+                ],
+            )
+            return None
+        if self._ctrl is not None and self._ctrl_ready:
+            full = np.empty(arr.shape, dtype=arr.dtype)
+            for s in arr.addressable_shards:
+                full[s.index] = np.asarray(s.data)
+            for sock in self._ctrl.socks:
+                for idx, data in _recv_msg(sock):
+                    full[idx] = data
+            return full
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
     def _step(self, h: int):
         if h not in self._steps:
@@ -434,8 +625,6 @@ class DistributedQueryService:
         return self._grouped
 
     def _run_grouped(self, utile: np.ndarray, gmask: np.ndarray):
-        from jax.experimental import multihost_utils
-
         step, tiles3, db = self._grouped_setup()
         mesh = tiles3.sharding.mesh
         sh_u = NamedSharding(mesh, P(AXIS_BATCH, None))
@@ -446,9 +635,7 @@ class DistributedQueryService:
         g_g = jax.make_array_from_process_local_data(
             sh_g, _slice_for_process(gmask, mesh, (AXIS_BATCH,))
         )
-        counts = step(tiles3, u_g, g_g)
-        counts = multihost_utils.process_allgather(counts, tiled=True)
-        return np.asarray(counts)
+        return self._finish(step(tiles3, u_g, g_g))
 
     def query_grouped(self, utile: np.ndarray, gmask: np.ndarray):
         """Host-0 dispatch of a grouped (minimizer) batch: utile
@@ -468,9 +655,12 @@ class DistributedQueryService:
         pu[:b] = utile
         pg[:b] = gmask
         with self._lock:
-            hdr = np.array([OP_GROUPED, bb, u, r], np.int32)
-            multihost_utils.broadcast_one_to_all(hdr)
-            pu, pg = _bcast_arrays([pu, pg])
+            if self._ctrl_ok():
+                self._ctrl.send_all({"op": OP_GROUPED, "arrays": [pu, pg]})
+            else:
+                hdr = np.array([OP_GROUPED, bb, u, r], np.int32)
+                multihost_utils.broadcast_one_to_all(hdr)
+                pu, pg = _bcast_arrays([pu, pg])
             counts = self._run_grouped(pu, pg)
         return counts[:b]
 
@@ -562,8 +752,6 @@ class DistributedQueryService:
         return self._seq_steps[key]
 
     def _run_seqs(self, seqs: np.ndarray, lens: np.ndarray, k: int, h: int):
-        from jax.experimental import multihost_utils
-
         cols3, gmesh, db = self._seqs_setup()
         step = self._seq_step(k, h, seqs.shape[1])
         sh_q = NamedSharding(gmesh, P(AXIS_BATCH, None))
@@ -574,8 +762,9 @@ class DistributedQueryService:
         l_g = jax.make_array_from_process_local_data(
             sh_l, _slice_for_process(lens, gmesh, (AXIS_BATCH,))
         )
-        out = step(cols3, q_g, l_g)
-        out = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+        out = self._finish(step(cols3, q_g, l_g))
+        if out is None:
+            return None  # worker: result shards already sent
         return (
             np.ascontiguousarray(out[:, :-2]),
             out[:, -2].astype(np.int32),
@@ -602,9 +791,14 @@ class DistributedQueryService:
         pl = np.zeros(bb, dtype=np.int32)
         pl[:b] = lens
         with self._lock:
-            hdr = np.array([OP_SEQS, bb, l, (k << 8) | h], np.int32)
-            multihost_utils.broadcast_one_to_all(hdr)
-            pq, pl = _bcast_arrays([pq, pl])
+            if self._ctrl_ok():
+                self._ctrl.send_all(
+                    {"op": OP_SEQS, "k": k, "h": h, "arrays": [pq, pl]}
+                )
+            else:
+                hdr = np.array([OP_SEQS, bb, l, (k << 8) | h], np.int32)
+                multihost_utils.broadcast_one_to_all(hdr)
+                pq, pl = _bcast_arrays([pq, pl])
             counts, n_valid, ok = self._run_seqs(pq, pl, k, h)
         if not ok:
             return None
@@ -635,9 +829,9 @@ class DistributedQueryService:
         mask_g = jax.make_array_from_process_local_data(
             sh_mask, _slice_for_process(pmask, self.mesh, (AXIS_BATCH, AXIS_KMERS))
         )
-        out = self._step(pidx.shape[2])(self.words, idx_g, mask_g)
-        # result assembly: replicate to every process, host 0 reads it
-        out = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+        out = self._finish(self._step(pidx.shape[2])(self.words, idx_g, mask_g))
+        if out is None:
+            return None, None  # worker: result shards already sent
         w = self.words.shape[1]
         counts = np.ascontiguousarray(out[:, : w * 32])
         exact = np.ascontiguousarray(out[:, w * 32 :]).view(np.uint32)
@@ -653,11 +847,16 @@ class DistributedQueryService:
         b, k, h = idx.shape
         with self._lock:
             pidx, pmask = self._pad(idx, mask)
-            hdr = np.array(
-                [OP_QUERY, pidx.shape[0], pidx.shape[1], h], np.int32
-            )
-            multihost_utils.broadcast_one_to_all(hdr)
-            pidx, pmask = _bcast_arrays([pidx, pmask])
+            if self._ctrl_ok():
+                self._ctrl.send_all(
+                    {"op": OP_QUERY, "arrays": [pidx, pmask]}
+                )
+            else:
+                hdr = np.array(
+                    [OP_QUERY, pidx.shape[0], pidx.shape[1], h], np.int32
+                )
+                multihost_utils.broadcast_one_to_all(hdr)
+                pidx, pmask = _bcast_arrays([pidx, pmask])
             counts, exact = self._run(pidx, pmask)
         return counts[:b], exact[:b]
 
@@ -675,9 +874,14 @@ class DistributedQueryService:
         pidx = np.zeros((kb, h), dtype=np.int32)
         pidx[:k] = idx
         with self._lock:
-            hdr = np.array([OP_PRESENCE, kb, 0, h], np.int32)
-            multihost_utils.broadcast_one_to_all(hdr)
-            pidx = np.asarray(multihost_utils.broadcast_one_to_all(pidx))
+            if self._ctrl_ok():
+                self._ctrl.send_all({"op": OP_PRESENCE, "arrays": [pidx]})
+            else:
+                hdr = np.array([OP_PRESENCE, kb, 0, h], np.int32)
+                multihost_utils.broadcast_one_to_all(hdr)
+                pidx = np.asarray(
+                    multihost_utils.broadcast_one_to_all(pidx)
+                )
             rows = self._run_presence(pidx)
         return rows[:k]
 
@@ -690,6 +894,10 @@ class DistributedQueryService:
         return np.asarray(rows)
 
     def stop(self) -> None:
+        if self._ctrl is not None and self._ctrl_ready:
+            self._ctrl.send_all({"op": OP_STOP})
+            self._ctrl.close()
+            return
         from jax.experimental import multihost_utils
 
         multihost_utils.broadcast_one_to_all(
@@ -699,8 +907,46 @@ class DistributedQueryService:
     # -- workers -----------------------------------------------------------
 
     def run_worker_loop(self) -> None:
-        """Lockstep execution on processes > 0: receive header + arrays
-        from host 0, run the identical step, repeat until OP_STOP."""
+        """Lockstep execution on processes > 0: receive each dispatch
+        from host 0 (TCP control plane when available, gloo broadcast
+        legs otherwise), run the identical step, repeat until OP_STOP."""
+        endpoint = _control_endpoint()
+        if endpoint is not None:
+            sock = _connect_control(endpoint)
+            if sock is not None:
+                self._wsock = sock
+                try:
+                    self._worker_loop_ctrl(sock)
+                finally:
+                    self._wsock = None
+                    try:
+                        sock.close()
+                    except OSError:
+                        pass
+                return
+            logger.warning(
+                "control plane: could not reach host 0 at %s:%d; "
+                "falling back to the gloo broadcast legs", *endpoint
+            )
+        self._worker_loop_gloo()
+
+    def _worker_loop_ctrl(self, sock) -> None:
+        while True:
+            msg = _recv_msg(sock)
+            op = msg["op"]
+            if op == OP_STOP:
+                return
+            a = msg["arrays"]
+            if op == OP_GROUPED:
+                self._run_grouped(a[0], a[1])
+            elif op == OP_SEQS:
+                self._run_seqs(a[0], a[1], msg["k"], msg["h"])
+            elif op == OP_PRESENCE:
+                self._run_presence(a[0])
+            else:
+                self._run(a[0], a[1])
+
+    def _worker_loop_gloo(self) -> None:
         from jax.experimental import multihost_utils
 
         while True:
