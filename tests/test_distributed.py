@@ -49,12 +49,20 @@ def _oracle(words, idx, mask):
     return counts, exact
 
 
-@pytest.mark.parametrize("row_shards", [1, 2])
-def test_two_process_distributed_query(row_shards):
+@pytest.mark.parametrize(
+    "row_shards,legacy",
+    [(1, False), (2, False), (1, True)],  # legacy = gloo broadcast legs
+    ids=["ctrl", "ctrl-rowsharded", "gloo-fallback"],
+)
+def test_two_process_distributed_query(row_shards, legacy):
     port = _free_port()
     num_processes, local_devices = 2, 2
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    if legacy:
+        # the TCP control plane replaced the per-dispatch gloo legs
+        # (round 5); this variant keeps the fallback path honest
+        env["BIGSI_TPU_NO_CONTROL_PLANE"] = "1"
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), str(num_processes), str(port),
