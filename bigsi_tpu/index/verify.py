@@ -218,14 +218,18 @@ def split_verify_queries(
     t_host = time.perf_counter() - t0
     dev_out = resolve()
     t_total = time.perf_counter() - t0
-    # adapt: per-query rates from this call (device time includes the
-    # host-overlapped window; only the excess beyond the host pass is
-    # the device's marginal cost when it is the straggler)
+    # adapt: when the device straggles past the host window its rate is
+    # measurable and the fraction rebalances from the two rates; when
+    # it finishes INSIDE the window its true speed is unobservable, so
+    # nudge its share up — the fraction climbs until the device becomes
+    # marginally co-critical, which is the balanced operating point
     nh = len(live) - nd
-    r_host = nh / max(t_host, 1e-6)
-    r_dev = nd / max(t_total if t_total > t_host * 1.05 else t_host, 1e-6)
-    new_frac = r_dev / max(r_dev + r_host, 1e-6)
-    blended = 0.5 * frac + 0.5 * new_frac
+    if t_total > t_host * 1.05:
+        r_host = nh / max(t_host, 1e-6)
+        r_dev = nd / max(t_total, 1e-6)
+        blended = 0.5 * frac + 0.5 * (r_dev / max(r_dev + r_host, 1e-6))
+    else:
+        blended = frac + 0.05
     verifier.split_fraction = 0.0 if blended < 0.08 else min(0.9, blended)
     return [
         dev_out[i] if i in dev_set else host_out[i] for i in range(b)

@@ -1,6 +1,6 @@
 """Device verify vs host verify at the bench's verified-serving shape.
 
-Times the DeviceVerifier program (_verify_counts_fat: fat-row gather +
+Times the DeviceVerifier pass (classic fat-row gather +
 AND over h + candidate-restricted csa popcount) against the native
 host pass (and_count_words_batch) at B=256, K=512, h=3, 8 candidate
 colours per query — the BENCH verified_qps worst case.  Marginal

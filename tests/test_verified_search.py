@@ -337,3 +337,70 @@ def test_device_verifier_refreshes_on_compact(tmp_path):
     res = vd.search(q, 0.7)
     assert res == cl.search(q, 0.7)
     assert any(r["sample_name"] == "newbie" for r in res)
+
+
+def test_split_fraction_adapts_both_directions(tmp_path):
+    """split_verify_queries must grow the device share when the device
+    side is fast, decay to host-only when it is slow, and re-probe
+    periodically after decaying."""
+    import time
+
+    import bigsi_tpu.index.verify as vf
+
+    rng = np.random.default_rng(3)
+    m, w = 50000, 4
+    words = rng.integers(0, 1 << 32, size=(m, w), dtype=np.uint32)
+    # big enough that the host pass takes a few ms — at sub-ms batch
+    # scale, scheduler noise reads as device straggle
+    b, k, h = 64, 512, 3
+    idx_list = [
+        rng.integers(0, m, size=(k, h)).astype(np.int64) for _ in range(b)
+    ]
+    cand_list = [
+        np.unique(rng.integers(0, w * 32, size=4)).astype(np.int64)
+        for _ in range(b)
+    ]
+    want = vf.verify_queries(words, idx_list, cand_list)
+
+    class FakeVerifier:
+        """Oracle-correct device stand-in with a tunable delay."""
+
+        def __init__(self, delay):
+            self.delay = delay
+
+        def counts_async(self, ridx, cands):
+            out = vf.verify_queries(words, ridx, cands)
+
+            def resolve():
+                time.sleep(self.delay)
+                return out
+
+            return resolve
+
+    fast = FakeVerifier(0.0)
+    for _ in range(6):
+        got = vf.split_verify_queries(words, idx_list, cand_list, fast)
+    assert all(np.array_equal(a, bb) for a, bb in zip(got, want))
+    assert fast.split_fraction > 0.4  # fast device earns more share
+
+    slow = FakeVerifier(0.05)
+    for _ in range(8):
+        got = vf.split_verify_queries(words, idx_list, cand_list, slow)
+    assert all(np.array_equal(a, bb) for a, bb in zip(got, want))
+    assert slow.split_fraction == 0.0  # slow device decays to host-only
+    # decayed: host-only calls never touch the device...
+    calls_before = slow._split_calls
+    dispatches = {"n": 0}
+    orig = slow.counts_async
+
+    def spy(ridx, cands):
+        dispatches["n"] += 1
+        return orig(ridx, cands)
+
+    slow.counts_async = spy
+    for _ in range(31 - (calls_before % 32) if calls_before % 32 else 0):
+        vf.split_verify_queries(words, idx_list, cand_list, slow)
+    assert dispatches["n"] == 0
+    # ...except the periodic re-probe draw (every 32nd call)
+    vf.split_verify_queries(words, idx_list, cand_list, slow)
+    assert dispatches["n"] == 1
