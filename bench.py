@@ -626,7 +626,25 @@ def main():
     # Headline + serving re-measure after every other config tears
     # down: HBM placement and relay state move cols19 2-3x between
     # runs (docs/ROADMAP.md round-4 notes) — report the best placement.
-    dt_cols19 = min(dt_cols19, try_marginal(make_cols19, "cols16-w19 (re)"))
+    # Each re-measure samples a FRESH HBM allocation of the cols matrix
+    # (same bits, new placement); reusing the start-of-run buffer would
+    # re-measure the same placement every time.
+    def remeasure_cols19(label, key):
+        fresh = jax.jit(
+            lambda k: jax.random.bits(k, (T16, N), jnp.uint16)
+        )(jax.random.PRNGKey(key))
+        try:
+            return try_marginal(
+                lambda n: (
+                    make_cols19(n)[0],
+                    (fresh, ut19_d, gm19_d, nv19_d),
+                ),
+                label,
+            )
+        finally:
+            fresh.delete()
+
+    dt_cols19 = min(dt_cols19, remeasure_cols19("cols16-w19 (re)", 13))
     dt_seqstep = min(dt_seqstep, try_marginal(make_seqstep, "seq-step (re)"))
     # measure-after-idle: relay/HBM session state decays over tens of
     # seconds (BASELINE.md variance notes) — one more placement after a
@@ -635,7 +653,7 @@ def main():
     if device_healthy and on_tpu:
         time.sleep(20)
         dt_cols19 = min(
-            dt_cols19, try_marginal(make_cols19, "cols16-w19 (idle)")
+            dt_cols19, remeasure_cols19("cols16-w19 (idle)", 29)
         )
 
 
