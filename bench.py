@@ -272,9 +272,16 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts), ts
 
+    t_start = time.monotonic()
+
     def marginal(make, label=""):
         if label:
-            print("bench: measuring %s" % label, file=sys.stderr, flush=True)
+            print(
+                "bench: [%5.0fs] measuring %s"
+                % (time.monotonic() - t_start, label),
+                file=sys.stderr,
+                flush=True,
+            )
         f1, a1 = make(1)
         fn, an = make(CHAIN)
         t1, _ = timed(f1, a1)
@@ -755,7 +762,27 @@ def main():
             from bigsi_tpu.index.verify import split_verify_queries
             from bigsi_tpu.matrix.bitmatrix import BitSliceMatrix
 
-            verifier = DeviceVerifier(BitSliceMatrix(words_v, N))
+            # device matrix from ON-DEVICE RNG: uploading words_v
+            # (320 MB) through the relay measured 332 s — a third of
+            # the run deadline.  Timing-only synthetic: the split's
+            # device slice gathers from these bits, the host slice
+            # from words_v; the verify cost model is row-count-bound
+            # either way and result parity is covered by
+            # tests/test_verified_search.py.
+            from bigsi_tpu.index.device_engine import fat_pack as _fp
+
+            _probe = np.zeros((4, W), dtype=np.uint32)
+            _, g_v = _fp(_probe)
+            wp = max(8, W)  # fat width fat_pack would produce
+            fat_dev = jax.jit(
+                lambda k: jax.random.bits(
+                    k, (-(-M_V // g_v), g_v * wp), jnp.uint32
+                )
+            )(jax.random.PRNGKey(9))
+            verifier = DeviceVerifier(
+                BitSliceMatrix(words_v, N),
+                fat_device=(fat_dev, g_v),
+            )
             idx_list = [idx_v[i * K : (i + 1) * K] for i in range(B)]
             cand_list = [
                 np.unique(rng.integers(0, N, size=cand)).astype(np.int64)

@@ -725,11 +725,18 @@ class DeviceVerifier:
     :func:`bigsi_tpu.index.verify.verify_queries`.
     """
 
-    def __init__(self, matrix: BitSliceMatrix, device=None):
+    def __init__(self, matrix: BitSliceMatrix, device=None, fat_device=None):
+        """``fat_device``: optional pre-staged (fat jax array, g) pair —
+        benchmarks use an on-device synthetic matrix (host->device
+        through this environment's relay moves ~1 MB/s; a 320 MB
+        verify matrix costs minutes to upload)."""
         self.matrix = matrix
         self.device = device or jax.devices()[0]
-        fat, self.g = fat_pack(np.asarray(matrix.words))
-        self.words = jax.device_put(fat, self.device)
+        if fat_device is not None:
+            self.words, self.g = fat_device
+        else:
+            fat, self.g = fat_pack(np.asarray(matrix.words))
+            self.words = jax.device_put(fat, self.device)
         self.w = matrix.num_words
 
     def counts_async(self, row_idx_list, cand_list):
