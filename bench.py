@@ -41,7 +41,12 @@ self-describing fields:
   better of the device-prep (bytes in, ops/prep_jax.py) and host-prep
   serving paths;
 * verified_qps — two-stage screen+verify serving (classic result
-  dicts) at a pessimistic 8-candidates-per-query verify load;
+  dicts) at a pessimistic 8-candidates-per-query verify load, taking
+  the better of the host pass and the overlapped host+device split
+  (verify_host_ms / verify_split_ms report both);
+* spread_ms — per-config min/median/max over EVERY marginal estimate
+  of the run (first, re-measure with a fresh HBM placement, idle
+  re-measure): a tight spread marks a stable capture;
 * blocked16_rows_per_s — the classic-result-quality middle ground;
 * wide_n_{2048,4096}_rows_per_s — sample-width scaling points;
 * native_available; "partial": true when the run wedged mid-way and
@@ -102,6 +107,9 @@ def _arm_deadline():
                 near_miss_fpr=trade["near_miss_fpr"],
                 partial=True,
             )
+            for extra in ("serving_qps", "serving_mode", "verified_qps"):
+                if extra in snap:
+                    out[extra] = snap[extra]
         print(json.dumps(out), flush=True)
         print(
             "bench deadline (%.0fs) expired: device hung; emitted %s "
@@ -717,6 +725,8 @@ def main():
         serve_qps, serve_mode = serve_dev_qps, "device-prep"
     else:
         serve_qps, serve_mode = serve_host_qps, "host-prep"
+    _PARTIAL["serving_qps"] = round(serve_qps, 1)
+    _PARTIAL["serving_mode"] = serve_mode
 
     # verified serving (screen on device + classic verification of
     # candidate colours on host, pipelined -> bound by the slower side).
@@ -805,6 +815,7 @@ def main():
         )
         screen_dt = dt_seqstep if np.isfinite(dt_seqstep) else dt_cols19
         verified_qps = B / max(screen_dt + pad_ms / 1e3, best_verify / 1e3)
+        _PARTIAL["verified_qps"] = round(verified_qps, 1)
 
     rows = B * K * H
     candidates = {

@@ -115,19 +115,32 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         # same gather the classic counts path uses.  "verify-device":
         # true forces it, false disables, absent = auto (tpu engine +
         # matrix under verify-device-max-bytes, default 4 GiB).
-        self.verifier = None
+        # Staging is LAZY (first batched verify): opening an index must
+        # not pay a multi-GB HBM upload that single-query serving (host
+        # verify path) never uses.
+        self._verifier = None
+        self._want_verifier = False
         if self.screen is not None:
             want = config.get("verify-device")
             size_ok = (
                 self.bitmatrix.words.nbytes
                 <= int(config.get("verify-device-max-bytes", 4 << 30))
             )
-            if want is True or (
+            self._want_verifier = want is True or (
                 want is None and config.get("engine") == "tpu" and size_ok
-            ):
-                from bigsi_tpu.index.device_engine import DeviceVerifier
+            )
 
-                self.verifier = DeviceVerifier(self.bitmatrix)
+    @property
+    def verifier(self):
+        if self._verifier is None and self._want_verifier:
+            from bigsi_tpu.index.device_engine import DeviceVerifier
+
+            self._verifier = DeviceVerifier(self.bitmatrix)
+        return self._verifier
+
+    @verifier.setter
+    def verifier(self, value):
+        self._verifier = value
 
     @property
     def kmer_size(self):
@@ -686,13 +699,11 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
         assert self.slot_scheme == bigsi.slot_scheme
 
     def _refresh_verifier(self) -> None:
-        """Re-stage the classic matrix after a mutation swapped it
+        """Drop the staged classic matrix after a mutation swapped it
         (compact/merge) — a stale HBM copy would silently drop the new
-        columns from verification."""
-        if self.verifier is not None:
-            from bigsi_tpu.index.device_engine import DeviceVerifier
-
-            self.verifier = DeviceVerifier(self.bitmatrix)
+        columns from verification; the next batched verify re-stages
+        lazily from the new matrix."""
+        self._verifier = None
 
     def compact(self) -> None:
         KmerSignatureIndex.compact(self)
