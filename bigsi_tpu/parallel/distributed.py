@@ -894,7 +894,10 @@ class DistributedQueryService:
         return np.asarray(rows)
 
     def stop(self) -> None:
-        if self._ctrl is not None and self._ctrl_ready:
+        # _ctrl_ok (not _ctrl_ready) so a stop BEFORE any dispatch
+        # still routes over the sockets the workers are listening on —
+        # a gloo stop would strand connected workers in _recv_msg
+        if self._ctrl is not None and self._ctrl_ok():
             self._ctrl.send_all({"op": OP_STOP})
             self._ctrl.close()
             return
