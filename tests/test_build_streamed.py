@@ -181,3 +181,27 @@ def test_sharded_build_verified_screen(tmp_path, monkeypatch):
     for seq in seqs[:3]:
         assert a.search(seq) == b.search(seq)
         assert a.search(seq, threshold=0.6) == b.search(seq, threshold=0.6)
+
+
+def test_streamed_build_verified_screen(tmp_path):
+    """low_mem verified build BELOW the shard threshold: create()'s
+    streamed path transposes both planes chunk-wise — bit-identical to
+    the in-RAM verified build."""
+    extra = {"screen": "minimizer", "screen-m": 30000}
+    seqs = _random_seqs(10, seed=44)
+    names = ["s%d" % i for i in range(len(seqs))]
+    cfg_a = _config(tmp_path, "sv_ram", **extra)
+    cfg_b = _config(tmp_path, "sv_streamed", low_mem_build=True, **extra)
+    blooms = [BIGSI.bloom(cfg_a, seq_to_kmers(s, K)) for s in seqs]
+    BIGSI.build(cfg_a, blooms, names)
+    BIGSI.build(cfg_b, blooms, names)
+    for binfile in ("rows.bin", "screen.bin"):
+        pa = np.fromfile(str(tmp_path / "sv_ram" / binfile), dtype=np.uint32)
+        pb = np.fromfile(
+            str(tmp_path / "sv_streamed" / binfile), dtype=np.uint32
+        )
+        assert np.array_equal(pa, pb), binfile
+    a, b = BIGSI(cfg_a), BIGSI(cfg_b)
+    assert b.screen == a.screen
+    for seq in seqs[:3]:
+        assert a.search(seq, threshold=0.6) == b.search(seq, threshold=0.6)
