@@ -404,3 +404,40 @@ def test_split_fraction_adapts_both_directions(tmp_path):
     # ...except the periodic re-probe draw (every 32nd call)
     vf.split_verify_queries(words, idx_list, cand_list, slow)
     assert dispatches["n"] == 1
+
+
+def test_device_verifier_unit_parity_random_shapes():
+    """DeviceVerifier.counts must equal verify_queries on random
+    shapes, including empty-candidate and None entries."""
+    from bigsi_tpu.index.device_engine import DeviceVerifier
+    from bigsi_tpu.index.verify import verify_queries
+    from bigsi_tpu.matrix.bitmatrix import BitSliceMatrix
+
+    rng = np.random.default_rng(8)
+    for trial in range(3):
+        m = int(rng.integers(2000, 20000))
+        w = int(rng.integers(1, 9))
+        h = int(rng.integers(2, 5))
+        words = rng.integers(0, 1 << 32, size=(m, w), dtype=np.uint32)
+        b = 6
+        idx_list, cand_list = [], []
+        for i in range(b):
+            if i == 2:
+                idx_list.append(None)
+                cand_list.append(None)
+                continue
+            k = int(rng.integers(1, 300))
+            idx_list.append(
+                rng.integers(0, m, size=(k, h)).astype(np.int64)
+            )
+            nc = int(rng.integers(0, 9))
+            cand_list.append(
+                np.unique(
+                    rng.integers(0, w * 32, size=nc)
+                ).astype(np.int64)
+            )
+        ver = DeviceVerifier(BitSliceMatrix(words, w * 32))
+        got = ver.counts(idx_list, cand_list)
+        want = verify_queries(words, idx_list, cand_list)
+        for g, wnt in zip(got, want):
+            assert np.array_equal(g, wnt), trial
