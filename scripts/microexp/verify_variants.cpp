@@ -120,3 +120,10 @@ int main() {
   run("twophase PD=64", kernel_twophase<64>, mat.data(), idx, wids);
   return 0;
 }
+
+// ROUND-5 PRODUCTION A/B NOTE: the two-phase win above holds only for
+// the TEMPLATED variant (compile-time NW/H).  A generic runtime-nw
+// rewrite of and_count_words measured at parity-to-worse in the
+// production harness (alternating A/B: new 14.2/17.1/11.5 vs old
+// 11.0/11.4/15.0 ms/batch — within this host's noise but never
+// clearly ahead), so the interleaved PD=8 kernel stays.
