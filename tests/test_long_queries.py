@@ -1,0 +1,53 @@
+"""Genome-scale queries (10 kb+): the serving facade must handle
+queries far past the device-prep geometry guard — falling back to the
+host-prep engine paths — with results identical to the numpy oracle
+(the reference's long-query story is the same decompose-and-count,
+bigsi/graph/bigsi.py:174-230)."""
+
+import numpy as np
+
+from bigsi_tpu.graph.bigsi import BIGSI
+from bigsi_tpu.kmers import seq_to_kmers
+
+BASES = "ACGT"
+
+
+def _mk(tmp_path, engine, layout_extra):
+    rng = np.random.default_rng(11)
+    genomes = [
+        "".join(BASES[i] for i in rng.integers(0, 4, 12_000))
+        for _ in range(3)
+    ]
+    cfg = {
+        "storage-engine": "bigsi-tpu",
+        "storage-config": {"filename": str(tmp_path / ("ix-" + engine))},
+        "k": 31, "m": 1 << 19, "h": 3, "engine": engine, **layout_extra,
+    }
+    blooms = [BIGSI.bloom(cfg, seq_to_kmers(g, 31)) for g in genomes]
+    return (
+        BIGSI.build(cfg, blooms, ["s%d" % i for i in range(3)]),
+        genomes,
+    )
+
+
+def test_10kb_query_minimizer_device_engine(tmp_path):
+    extra = {"layout": "minimizer", "tile-rows": 16, "minimizer-window": 19}
+    dev, genomes = _mk(tmp_path, "tpu", extra)
+    host, _ = _mk(tmp_path, "numpy", extra)
+    q = genomes[0][500:10_500]  # 10 kb: past the seq-path NK ceiling
+    assert dev.search(q, threshold=0.9) == host.search(q, threshold=0.9)
+    got = dev.search_batch([q, genomes[1][:8_000]], threshold=0.9)
+    want = host.search_batch([q, genomes[1][:8_000]], threshold=0.9)
+    assert got == want
+    assert got[0] and got[0][0]["sample_name"] == "s0"
+    assert got[0][0]["num_kmers"] <= 9970  # distinct <= window count
+
+
+def test_10kb_query_classic_engine(tmp_path):
+    dev, genomes = _mk(tmp_path, "tpu", {})
+    host, _ = _mk(tmp_path, "numpy", {})
+    q = genomes[2][:10_031]
+    assert dev.search(q, 1.0) == host.search(q, 1.0)
+    assert dev.search_batch([q], threshold=0.7) == host.search_batch(
+        [q], threshold=0.7
+    )
