@@ -51,3 +51,32 @@ def test_10kb_query_classic_engine(tmp_path):
     assert dev.search_batch([q], threshold=0.7) == host.search_batch(
         [q], threshold=0.7
     )
+
+
+def test_10kb_query_over_http_post(tmp_path):
+    """Long queries ride POST bodies (GET URLs cap near 64 KB in the
+    stdlib server); the response must match a direct search."""
+    import json
+    import threading
+    import urllib.request
+
+    from bigsi_tpu.http.server import make_server
+
+    extra = {"layout": "minimizer", "tile-rows": 16, "minimizer-window": 19}
+    idx, genomes = _mk(tmp_path, "tpu", extra)
+    server = make_server(dict(idx.config), host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        q = genomes[1][200:10_200]
+        req = urllib.request.Request(
+            "http://127.0.0.1:%d/search" % port,
+            data=json.dumps({"seq": q, "threshold": 0.9}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())
+        assert out["results"] == idx.search(q, threshold=0.9)
+        assert out["results"][0]["sample_name"] == "s1"
+    finally:
+        server.shutdown()
