@@ -299,6 +299,27 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             res = self._seq_batch_device(seqs, threshold)
             if res is not None:
                 return res
+            # mixed-length batch: one genome-scale straggler fails the
+            # whole-batch geometry (the B*NK^2 work bound pads every
+            # query to the longest) — serve the short majority on the
+            # device path and recurse on the stragglers, which as a
+            # SMALL batch often pass the geometry on their own
+            short = [i for i, s in enumerate(seqs) if len(s) <= 1024]
+            if 8 <= len(short) < b:
+                long_i = [i for i in range(b) if len(seqs[i]) > 1024]
+                sres = self._seq_batch_device(
+                    [seqs[i] for i in short], threshold
+                )
+                if sres is not None:
+                    lres = self.search_batch(
+                        [seqs[i] for i in long_i], threshold
+                    )
+                    out = [None] * b
+                    for j, i in enumerate(short):
+                        out[i] = sres[j]
+                    for j, i in enumerate(long_i):
+                        out[i] = lres[j]
+                    return out
         # per-query k-mer prep, shared by both dispatch paths; the
         # (uniq, inverse) pairs feed the post-counts scoring pass
         mats, inverses, nks = [], [], []

@@ -80,3 +80,30 @@ def test_10kb_query_over_http_post(tmp_path):
         assert out["results"][0]["sample_name"] == "s1"
     finally:
         server.shutdown()
+
+
+def test_mixed_length_batch_splits_stragglers(tmp_path, monkeypatch):
+    """A batch of short queries + one genome-scale straggler: the short
+    majority must STAY on the device seq path (not be dragged to the
+    host path by the straggler's geometry), results identical to the
+    host oracle."""
+    extra = {"layout": "minimizer", "tile-rows": 16, "minimizer-window": 19}
+    dev, genomes = _mk(tmp_path, "tpu", extra)
+    host, _ = _mk(tmp_path, "numpy", extra)
+    queries = [genomes[i % 3][j * 97 : j * 97 + 300] for i, j in
+               enumerate([(x % 20) for x in range(12)])]
+    queries.append(genomes[2][:8_000])  # the straggler
+    calls = {"dev": 0}
+    orig = dev.engine.counts_batch_seqs
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        calls["dev"] += out is not None
+        return out
+
+    monkeypatch.setattr(dev.engine, "counts_batch_seqs", spy)
+    got = dev.search_batch(queries, threshold=0.9)
+    assert calls["dev"] >= 1, "short majority left the device path"
+    want = host.search_batch(queries, threshold=0.9)
+    assert got == want
+    assert got[-1] and got[-1][0]["sample_name"] == "s2"
