@@ -441,3 +441,21 @@ def test_device_verifier_unit_parity_random_shapes():
         want = verify_queries(words, idx_list, cand_list)
         for g, wnt in zip(got, want):
             assert np.array_equal(g, wnt), trial
+
+
+def test_verified_identical_through_mesh_engine(tmp_path):
+    """Two-stage verified search with the SCREEN on a device mesh
+    (engine=mesh over the 8 virtual CPU devices): result dicts remain
+    identical to the classic oracle."""
+    rng = np.random.default_rng(77)
+    seqs = _dataset(rng, n=4)
+    names = ["g%d" % i for i in range(4)] + ["m%d" % i for i in range(4)]
+    cl, vr, classic_cfg, ver_cfg = _build_pair(tmp_path, seqs, names)
+    vm = BIGSI(dict(ver_cfg, engine="mesh"))
+    assert type(vm.screen_engine).__name__ == "MeshEngine"
+    queries = [s[40:260] for s in seqs]
+    for t in (1.0, 0.7):
+        assert vm.search_batch(queries, threshold=t) == \
+            cl.search_batch(queries, threshold=t)
+        assert [vm.search(q, t) for q in queries] == \
+            [cl.search(q, t) for q in queries]
