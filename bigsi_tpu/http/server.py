@@ -385,6 +385,14 @@ def serve_distributed(config, host="0.0.0.0", port=8000) -> None:
     cfg = dict(config)
     cfg["engine"] = "distributed"
     graph = BIGSI(cfg)  # collective: distributes the matrix shards
+    # the collective engine is graph.engine, EXCEPT on verified
+    # (screen:) indexes where the distributed engine accelerates the
+    # SCREEN and graph.engine is the host-side classic verifier
+    collective = next(
+        e
+        for e in (graph.engine, getattr(graph, "screen_engine", None))
+        if e is not None and hasattr(e, "run_worker_loop")
+    )
     if jax.process_index() == 0:
         server = make_server(cfg, host, port)
         server._bigsi = graph  # pre-built handle (engine is collective)
@@ -396,10 +404,10 @@ def serve_distributed(config, host="0.0.0.0", port=8000) -> None:
         try:
             server.serve_forever()
         finally:
-            graph.engine.stop()
+            collective.stop()
             server.shutdown()
     else:
         logger.info(
             "bigsi-tpu distributed worker %d running", jax.process_index()
         )
-        graph.engine.run_worker_loop()
+        collective.run_worker_loop()

@@ -99,7 +99,12 @@ def main():
     except urllib.error.HTTPError as e:
         print("INSERT_STATUS:%d" % e.code)
 
-    graph.engine.stop()
+    collective = next(
+        e
+        for e in (graph.engine, getattr(graph, "screen_engine", None))
+        if e is not None and hasattr(e, "stop")
+    )
+    collective.stop()
     server.shutdown()
     print("PROC_OK")
 

@@ -311,3 +311,73 @@ def test_spread_subset_rejects_uneven_split(monkeypatch):
     # single-process (the real situation here): even splits succeed
     monkeypatch.setattr(jax, "process_count", lambda: 1)
     assert len(_spread_subset(devices, 2)) == 2
+
+
+def test_distributed_serving_verified(tmp_path):
+    """serve --distributed over a VERIFIED (screen:) index: the screen
+    dispatches through the collective engine, the verify pass runs
+    host-0 classic — HTTP results identical to a plain classic index."""
+    import subprocess as sp
+
+    index_dir = str(tmp_path / "vidx")
+    classic_dir = str(tmp_path / "cidx")
+    ref = (
+        "ACGTAGCATCGGATCGTAGCATCGAGCTACGATCGATCGATCGGATTAGCTACGACTAGCTAGCATCGAT"
+    )
+    alt = ref[:40] + ("C" if ref[40] != "C" else "G") + ref[41:]
+    build_src = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from bigsi_tpu import BIGSI\n"
+        "from bigsi_tpu.kmers import seq_to_kmers\n"
+        "ver = {'storage-engine': 'bigsi-tpu',\n"
+        "       'storage-config': {'filename': %r},\n"
+        "       'k': 31, 'm': 20000, 'h': 3, 'screen': 'minimizer'}\n"
+        "cla = {'storage-engine': 'bigsi-tpu',\n"
+        "       'storage-config': {'filename': %r},\n"
+        "       'k': 31, 'm': 20000, 'h': 3}\n"
+        "for cfg in (ver, cla):\n"
+        "    blooms = [BIGSI.bloom(cfg, seq_to_kmers(s, 31))\n"
+        "              for s in (%r, %r)]\n"
+        "    BIGSI.build(cfg, blooms, ['a', 'b'])\n"
+    ) % (os.path.join(HERE, ".."), index_dir, classic_dir, ref, alt)
+    sp.run([sys.executable, "-c", build_src], check=True, timeout=300)
+
+    coord_port = _free_port()
+    http_port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "distributed_serve_worker.py"),
+             str(pid), "2", str(coord_port), "2", str(http_port), index_dir,
+             ref],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, "serve worker failed:\n%s\n%s" % (out, err[-2000:])
+        assert "PROC_OK" in out
+
+    host0 = outs[0][1]
+    search_line = next(
+        line for line in host0.splitlines() if line.startswith("SEARCH:")
+    )
+    body = json.loads(search_line[len("SEARCH:"):])
+    # oracle: direct classic search on the twin index
+    sys.path.insert(0, os.path.join(HERE, ".."))
+    from bigsi_tpu import BIGSI
+
+    cla = BIGSI({
+        "storage-engine": "bigsi-tpu",
+        "storage-config": {"filename": classic_dir},
+        "k": 31, "m": 20000, "h": 3,
+    })
+    assert body["results"] == cla.search(ref, threshold=0.5)
