@@ -283,6 +283,33 @@ class BIGSI(SampleMetadata, KmerSignatureIndex):
             return [self.search(s, threshold, score) for s in seqs]
         h = self.num_hashes
         b = len(seqs)
+        # wildly mixed lengths: EVERY dispatch path pads per-query work
+        # to the longest query (k-mer bucket for the host-prep/screen
+        # paths, byte bucket for the seq path), so a genome-scale
+        # straggler multiplies the whole batch's cost.  Length-bucket
+        # up front and recurse on each side; both sides re-enter every
+        # fast path at their own natural padding.
+        if b >= 8:
+            lens = sorted(len(s) for s in seqs)
+            cut = 2 * max(256, lens[b // 2])
+            if lens[-1] > 2 * cut:
+                short_i = [i for i, s in enumerate(seqs) if len(s) <= cut]
+                if 0 < len(short_i) < b:
+                    long_i = [
+                        i for i in range(b) if len(seqs[i]) > cut
+                    ]
+                    sres = self.search_batch(
+                        [seqs[i] for i in short_i], threshold, score
+                    )
+                    lres = self.search_batch(
+                        [seqs[i] for i in long_i], threshold, score
+                    )
+                    out = [None] * b
+                    for j, i in enumerate(short_i):
+                        out[i] = sres[j]
+                    for j, i in enumerate(long_i):
+                        out[i] = lres[j]
+                    return out
         engine = self.engine
         if (
             not score

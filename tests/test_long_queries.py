@@ -107,3 +107,20 @@ def test_mixed_length_batch_splits_stragglers(tmp_path, monkeypatch):
     want = host.search_batch(queries, threshold=0.9)
     assert got == want
     assert got[-1] and got[-1][0]["sample_name"] == "s2"
+
+
+def test_mixed_length_batch_all_paths_and_score(tmp_path):
+    """The top-level length bucketing must preserve result parity on
+    every dispatch path — classic engine, scoring on, exact and
+    inexact thresholds — for a batch mixing 300 b and 10 kb queries."""
+    dev, genomes = _mk(tmp_path, "tpu", {})
+    host, _ = _mk(tmp_path, "numpy", {})
+    queries = [genomes[i % 3][60:360] for i in range(10)]
+    queries.insert(3, genomes[1][:10_000])
+    queries.append(genomes[2][:9_000])
+    for t in (1.0, 0.8):
+        assert dev.search_batch(queries, threshold=t) == \
+            host.search_batch(queries, threshold=t)
+    got = dev.search_batch(queries[:9] + [queries[3]], 0.8, score=True)
+    want = host.search_batch(queries[:9] + [queries[3]], 0.8, score=True)
+    assert got == want
